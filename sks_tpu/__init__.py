@@ -1,0 +1,45 @@
+"""sks_tpu — TPU-native homography / planar-SfM framework.
+
+A brand-new JAX/XLA/Pallas framework with the capabilities of the reference
+SKS-Homography repository (closed-form SKS / ACA 4-point homography
+decompositions plus the classical baselines), redesigned TPU-first:
+
+- one canonical *batched* formulation of every solver, ``(..., 4, 2) -> (..., 3, 3)``,
+  dtype-polymorphic (bf16/f32/f64) instead of the reference's four hand-duplicated
+  stacks (scalar C++ fp32/fp64, CUDA, PyTorch, MATLAB);
+- Pallas kernels for the hot path (fused hypothesis solve + RANSAC scoring);
+- fixed-shape vectorized RANSAC/MAGSAC;
+- homography -> pose recovery, pose-graph optimization and bundle adjustment,
+  sharded over a ``jax.sharding.Mesh`` with XLA collectives.
+
+Reference parity map (see SURVEY.md for file:line inventory):
+  ops.aca       <-  sks::runKernel_ACA        (C++ Codes/modules/ACA_SKS.cpp:24)
+  ops.sks       <-  sks::runKernel_SKS        (C++ Codes/modules/ACA_SKS.cpp:189)
+  ops.aca_rect  <-  TensorACA_rect            (PyTorch Codes/Modules_Runtime_Test.py:286)
+  ops.ndlt      <-  cv::runKernel_DLT         (C++ Codes/modules/DLT.cpp:53)
+  ops.rho_ge    <-  cv::runKernel_GE          (C++ Codes/modules/GE.cpp:44)
+  ops.gpt_lu    <-  cv::runKernel_GPT         (C++ Codes/modules/GPT.cpp:51)
+  ops.ho        <-  cv::runKernel_HO          (C++ Codes/modules/HO.cpp:33)
+"""
+
+from sks_tpu.ops import (  # noqa: F401
+    aca,
+    aca_h,
+    aca_rect,
+    aca_rect_h,
+    sks,
+    sks_h,
+    ndlt,
+    gpt_lu,
+    rho_ge,
+    ho,
+    solve_h,
+    SOLVERS,
+)
+from sks_tpu.geom.homography import (  # noqa: F401
+    apply_homography,
+    reprojection_error,
+    symmetric_transfer_error,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,156 @@
+"""Batched Lie-group utilities: SO(3), SE(3), SL(3) exp/log.
+
+Foundation for the pose-graph and bundle-adjustment layers (new capability per
+BASELINE.json; the reference has no pose representation).  All maps are
+branch-free (Taylor-switched by ``jnp.where``) so they jit/vmap/grad cleanly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+__all__ = [
+    "hat3",
+    "so3_exp",
+    "so3_log",
+    "se3_exp",
+    "se3_log",
+    "sl3_exp",
+    "sl3_basis",
+]
+
+_EPS = 1e-8
+
+
+def hat3(w: Array) -> Array:
+    """(..., 3) -> (..., 3, 3) skew-symmetric."""
+    x, y, z = w[..., 0], w[..., 1], w[..., 2]
+    o = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([o, -z, y], axis=-1),
+            jnp.stack([z, o, -x], axis=-1),
+            jnp.stack([-y, x, o], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def so3_exp(w: Array) -> Array:
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation."""
+    th2 = jnp.sum(w * w, axis=-1)
+    th = jnp.sqrt(jnp.maximum(th2, _EPS * _EPS))
+    a = jnp.where(th2 > _EPS, jnp.sin(th) / th, 1.0 - th2 / 6.0)
+    b = jnp.where(th2 > _EPS, (1.0 - jnp.cos(th)) / th2, 0.5 - th2 / 24.0)
+    k = hat3(w)
+    eye = jnp.eye(3, dtype=w.dtype)
+    return eye + a[..., None, None] * k + b[..., None, None] * (k @ k)
+
+
+def so3_log(r: Array) -> Array:
+    """(..., 3, 3) rotation -> (..., 3) axis-angle (|w| < pi)."""
+    tr = jnp.trace(r, axis1=-2, axis2=-1)
+    cos = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    th = jnp.arccos(cos)
+    v = jnp.stack(
+        [
+            r[..., 2, 1] - r[..., 1, 2],
+            r[..., 0, 2] - r[..., 2, 0],
+            r[..., 1, 0] - r[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    s = jnp.sin(th)
+    # w = th/(2 sin th) * v; near 0 -> v/2; near pi handled via symmetric part.
+    small = th < 1e-4
+    fac = jnp.where(small, 0.5 + th * th / 12.0, th / jnp.maximum(2 * s, _EPS))
+    w_generic = fac[..., None] * v
+    # Near pi: |v| -> 0; recover axis from diagonal of (R + I)/2.
+    near_pi = th > jnp.pi - 1e-3
+    d = jnp.stack([r[..., 0, 0], r[..., 1, 1], r[..., 2, 2]], axis=-1)
+    axis2 = jnp.maximum((d + 1.0) * 0.5, 0.0)
+    axis = jnp.sqrt(axis2)
+    axis = axis * jnp.where(v >= 0, 1.0, -1.0)
+    nrm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    w_pi = th[..., None] * axis / jnp.maximum(nrm, _EPS)
+    return jnp.where(near_pi[..., None], w_pi, w_generic)
+
+
+def se3_exp(xi: Array) -> Array:
+    """(..., 6) twist [v, w] -> (..., 4, 4) rigid transform."""
+    v, w = xi[..., :3], xi[..., 3:]
+    r = so3_exp(w)
+    th2 = jnp.sum(w * w, axis=-1)
+    th = jnp.sqrt(jnp.maximum(th2, _EPS * _EPS))
+    b = jnp.where(th2 > _EPS, (1.0 - jnp.cos(th)) / th2, 0.5 - th2 / 24.0)
+    c = jnp.where(th2 > _EPS, (th - jnp.sin(th)) / (th2 * th), 1.0 / 6.0)
+    k = hat3(w)
+    eye = jnp.eye(3, dtype=xi.dtype)
+    jl = eye + b[..., None, None] * k + c[..., None, None] * (k @ k)
+    t = jnp.einsum("...ij,...j->...i", jl, v)
+    top = jnp.concatenate([r, t[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], xi.dtype), (*top.shape[:-2], 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def se3_log(g: Array) -> Array:
+    """(..., 4, 4) -> (..., 6) twist [v, w]."""
+    r = g[..., :3, :3]
+    t = g[..., :3, 3]
+    w = so3_log(r)
+    th2 = jnp.sum(w * w, axis=-1)
+    th = jnp.sqrt(jnp.maximum(th2, _EPS * _EPS))
+    k = hat3(w)
+    eye = jnp.eye(3, dtype=g.dtype)
+    half = 0.5
+    # J_l^{-1} = I - k/2 + (1/th^2 - (1+cos th)/(2 th sin th)) k^2
+    coef = jnp.where(
+        th2 > _EPS,
+        1.0 / th2 - (1.0 + jnp.cos(th)) / jnp.maximum(2.0 * th * jnp.sin(th), _EPS),
+        1.0 / 12.0,
+    )
+    jli = eye - half * k + coef[..., None, None] * (k @ k)
+    v = jnp.einsum("...ij,...j->...i", jli, t)
+    return jnp.concatenate([v, w], axis=-1)
+
+
+def sl3_basis(dtype=jnp.float32) -> Array:
+    """The 8 generators of sl(3) (traceless 3x3), the homography tangent space.
+
+    Ordering: [tx, ty, rot, scale, shear1, shear2, proj_x, proj_y] — the
+    standard SL(3) parameterization of homographies used for direct tracking.
+    """
+    g = jnp.zeros((8, 3, 3), dtype)
+    g = g.at[0, 0, 2].set(1.0)  # tx
+    g = g.at[1, 1, 2].set(1.0)  # ty
+    g = g.at[2, 0, 1].set(-1.0).at[2, 1, 0].set(1.0)  # rotation
+    g = g.at[3, 0, 0].set(1.0).at[3, 1, 1].set(1.0).at[3, 2, 2].set(-2.0)  # scale
+    g = g.at[4, 0, 0].set(1.0).at[4, 1, 1].set(-1.0)  # shear (stretch)
+    g = g.at[5, 0, 1].set(1.0).at[5, 1, 0].set(1.0)  # shear (skew)
+    g = g.at[6, 2, 0].set(1.0)  # projective x
+    g = g.at[7, 2, 1].set(1.0)  # projective y
+    return g
+
+
+def sl3_exp(x: Array, terms: int = 12) -> Array:
+    """(..., 8) sl(3) coords -> (..., 3, 3) unit-determinant homography.
+
+    Matrix exponential by fixed-term Taylor with scaling-and-squaring
+    (branch-free, jit-friendly; ||A|| is O(1) for tracking updates).
+    """
+    a = jnp.einsum("...k,kij->...ij", x, sl3_basis(x.dtype))
+    # Scaling and squaring: A/2^s, 4 squarings.
+    s = 4
+    a = a / (2.0**s)
+    eye = jnp.eye(3, dtype=x.dtype)
+    out = jnp.broadcast_to(eye, a.shape)
+    term = jnp.broadcast_to(eye, a.shape)
+    for k in range(1, terms):
+        term = term @ a / k
+        out = out + term
+    for _ in range(s):
+        out = out @ out
+    return out

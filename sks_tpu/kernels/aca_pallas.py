@@ -1,0 +1,203 @@
+"""Pallas ACA kernels: batched solve, and solve fused with RANSAC scoring.
+
+Layout: the TPU analogue of the reference's SoA design (element k of
+hypothesis ``id`` at ``ptr[id + k*offset]``, ``GPU_Runtime Test.cu:87-95``).
+Here SoA means *component-major*: a batch of B hypotheses is ``(8, M, 128)``
+with ``M = B/128`` — component index major, then sublane x lane tiles of
+hypotheses.  Every elementwise op then runs on full ``(TS, 128)`` VPU tiles.
+
+Two kernels:
+
+* :func:`aca_solve_soa` — 16 floats in, 9 out per hypothesis; bandwidth-bound
+  (~100 B/hyp), the Table-8-comparable configuration.
+* :func:`aca_solve_score_soa` — solve + symmetric-transfer scoring against N
+  replicated points, emitting only the per-hypothesis score (4 B/hyp out);
+  the RANSAC production configuration (hypotheses never hit HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sks_tpu.ops.aca import aca_core
+
+__all__ = [
+    "aca_solve_soa",
+    "aca_solve_score_soa",
+    "aca_h_pallas",
+    "to_soa",
+    "from_soa_h",
+]
+
+LANES = 128
+
+
+def to_soa(pts: Array) -> Array:
+    """(B, 4, 2) -> (8, B/128, 128) component-major SoA.  B % 128 == 0."""
+    b = pts.shape[0]
+    assert b % LANES == 0, b
+    return pts.reshape(b, 8).T.reshape(8, b // LANES, LANES)
+
+
+def from_soa_h(h: Array) -> Array:
+    """(9, M, 128) -> (B, 3, 3)."""
+    m = h.shape[1]
+    return h.reshape(9, m * LANES).T.reshape(m * LANES, 3, 3)
+
+
+def _solve_kernel(chain_ref, src_ref, tar_ref, out_ref):
+    s = [src_ref[i] for i in range(8)]
+    t = [tar_ref[i] for i in range(8)]
+    # chain: a scalar data dependency used by the benchmark harness to
+    # serialize back-to-back kernel invocations without extra HBM traffic.
+    # 1e-38 * anything is below pixel-coordinate roundoff; not foldable.
+    s[0] = s[0] + chain_ref[0] * 1e-38
+    h = aca_core(*s, *t)
+    for i in range(9):
+        out_ref[i] = h[i]
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def aca_solve_soa(src: Array, tar: Array, chain: Array | None = None,
+                  tile: int = 64) -> Array:
+    """Batched division-free ACA on SoA inputs.
+
+    Args:
+      src, tar: (8, M, 128) component-major hypotheses (see :func:`to_soa`).
+      chain: optional f32 scalar forced into the compute (serialization hook
+        for honest steady-state timing; None -> 0).
+      tile: sublane tile (hypotheses per grid step = tile * 128).
+
+    Returns:
+      (9, M, 128) up-to-scale homographies, component-major.
+    """
+    _, m, _ = src.shape
+    tile = min(tile, m)
+    assert m % tile == 0, (m, tile)
+    grid = (m // tile,)
+    if chain is None:
+        chain = jnp.zeros((), src.dtype)
+    spec_in = pl.BlockSpec((8, tile, LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((9, tile, LANES), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _solve_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec_in,
+            spec_in,
+        ],
+        out_specs=spec_out,
+        out_shape=jax.ShapeDtypeStruct((9, m, LANES), src.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=97 * m * LANES,
+            bytes_accessed=(16 + 9) * m * LANES * src.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(chain.reshape(1), src, tar)
+
+
+def aca_h_pallas(src: Array, tar: Array) -> Array:
+    """(B, 4, 2) convenience wrapper: AoS -> SoA -> solve -> AoS.
+
+    The layout shuffle costs one extra HBM round trip; production pipelines
+    should keep hypotheses in SoA end-to-end (sample directly into SoA).
+    """
+    h = aca_solve_soa(to_soa(src), to_soa(tar))
+    return from_soa_h(h)
+
+
+def _solve_score_kernel(src_ref, tar_ref, pts_ref, thr_ref, score_ref,
+                        *, n_points):
+    s = [src_ref[i] for i in range(8)]
+    t = [tar_ref[i] for i in range(8)]
+    h00, h01, h02, h10, h11, h12, h20, h21, h22 = aca_core(*s, *t)
+    t2 = thr_ref[0]
+
+    # Adjugate for the reverse transfer (division-free up-to-scale inverse).
+    i00 = h11 * h22 - h12 * h21
+    i01 = h02 * h21 - h01 * h22
+    i02 = h01 * h12 - h02 * h11
+    i10 = h12 * h20 - h10 * h22
+    i11 = h00 * h22 - h02 * h20
+    i12 = h02 * h10 - h00 * h12
+    i20 = h10 * h21 - h11 * h20
+    i21 = h01 * h20 - h00 * h21
+    i22 = h00 * h11 - h01 * h10
+
+    shape = s[0].shape
+    score = jnp.zeros(shape, jnp.float32)
+
+    def body(j, score):
+        x = pts_ref[0, j]
+        y = pts_ref[1, j]
+        xp = pts_ref[2, j]
+        yp = pts_ref[3, j]
+        # Forward transfer.
+        w = h20 * x + h21 * y + h22
+        inv_w = 1.0 / w
+        dx = (h00 * x + h01 * y + h02) * inv_w - xp
+        dy = (h10 * x + h11 * y + h12) * inv_w - yp
+        r2 = dx * dx + dy * dy
+        # Reverse transfer.
+        wr = i20 * xp + i21 * yp + i22
+        inv_wr = 1.0 / wr
+        dxr = (i00 * xp + i01 * yp + i02) * inv_wr - x
+        dyr = (i10 * xp + i11 * yp + i12) * inv_wr - y
+        r2 = r2 + dxr * dxr + dyr * dyr
+        good = (r2 < t2) & (w != 0.0) & (wr != 0.0)
+        return score + good.astype(jnp.float32)
+
+    score = jax.lax.fori_loop(0, n_points, body, score)
+    score_ref[0] = score
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def aca_solve_score_soa(
+    src: Array, tar: Array, pts: Array, threshold: Array, tile: int = 256
+) -> Array:
+    """Fused ACA solve + symmetric-transfer inlier count.
+
+    Args:
+      src, tar: (8, M, 128) SoA minimal sets.
+      pts: (4, N) correspondence set rows [x, y, x', y'] (replicated in VMEM).
+      threshold: scalar — squared pixel threshold on the *sum* of forward and
+        reverse squared transfer errors.
+
+    Returns:
+      (1, M, 128) float32 inlier counts (component-major like the inputs).
+    """
+    _, m, _ = src.shape
+    tile = min(tile, m)
+    assert m % tile == 0
+    n = pts.shape[1]
+    grid = (m // tile,)
+    spec_in = pl.BlockSpec((8, tile, LANES), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    kernel = functools.partial(_solve_score_kernel, n_points=n)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec_in,
+            spec_in,
+            pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, LANES), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m, LANES), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=(97 + 36 * n) * m * LANES,
+            bytes_accessed=(16 + 1) * m * LANES * 4,
+            transcendentals=0,
+        ),
+    )(src, tar, pts, jnp.asarray(threshold, src.dtype).reshape(1))

@@ -1,0 +1,9 @@
+"""Robust estimation: fixed-shape vectorized RANSAC / MAGSAC over batched solvers."""
+
+from sks_tpu.robust.ransac import (  # noqa: F401
+    RansacConfig,
+    RansacResult,
+    ransac_homography,
+    sample_minimal_sets,
+    score_hypotheses,
+)

@@ -1,0 +1,217 @@
+"""Fixed-shape vectorized RANSAC for homography fitting.
+
+The TPU-native replacement for the data-dependent RANSAC loop (SURVEY.md §7
+hard part (d)): instead of iterating until a confidence bound is met, generate
+a *fixed* batch of B hypotheses (sized for the worst-case outlier ratio, just
+like the reference's RANSAC-motivated batch sizes, ``imgs/GPU-runtime.png``),
+solve them all with the batched minimal solver, score them all, and take the
+consensus argmax — everything static-shape, jit-compiled, and shardable over a
+device mesh (hypotheses are embarrassingly parallel, the consensus is one tiny
+collective).
+
+Degenerate hypotheses (collinear samples, duplicate indices, non-finite H) are
+masked with a score of -1 rather than branched on — the fault-masking strategy
+SURVEY.md §5 calls for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from sks_tpu.geom.homography import apply_homography, inv_h
+from sks_tpu.ops import SOLVERS_H, aca_valid_mask
+from sks_tpu.ops.ndlt import ndlt_h
+
+__all__ = [
+    "RansacConfig",
+    "RansacResult",
+    "ransac_homography",
+    "sample_minimal_sets",
+    "score_hypotheses",
+]
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Static RANSAC parameters (hashable -> usable as jit static arg)."""
+
+    num_hypotheses: int = 2048
+    threshold: float = 3.0  # pixels, symmetric transfer
+    solver: str = "aca"
+    refine_iters: int = 2  # IRLS refinement rounds on the winning consensus
+    scoring: str = "inliers"  # 'inliers' (RANSAC) | 'msac' | 'magsac'
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RansacResult:
+    h: Array  # (..., 3, 3) best model, H[2,2]-normalized
+    inlier_mask: Array  # (..., N) bool
+    num_inliers: Array  # (...,) int32
+    score: Array  # (...,) float — scoring-dependent quality (higher better)
+
+    def tree_flatten(self):
+        return (self.h, self.inlier_mask, self.num_inliers, self.score), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def sample_minimal_sets(key: Array, num_points: Array | int, batch: int) -> Array:
+    """(B, 4) random index tuples into the correspondence set.
+
+    Independent uniform draws (collisions allowed — they produce degenerate
+    hypotheses that scoring masks out; same trade as the reference's
+    ``% size`` resampling, ``GPU_Runtime Test.cu:71-76``).
+    """
+    return jax.random.randint(key, (batch, 4), 0, num_points, dtype=jnp.int32)
+
+
+def _residual2(h: Array, src: Array, tar: Array) -> Array:
+    """Squared symmetric transfer error of hypotheses (B,3,3) on points (N,2).
+
+    Returns (B, N).  Written against precomputed homogeneous products so the
+    whole thing fuses into one bandwidth-light elementwise pass.
+    """
+    d1 = apply_homography(h, src) - tar[..., None, :, :]
+    hinv = inv_h(h)
+    d2 = apply_homography(hinv, tar) - src[..., None, :, :]
+    return jnp.sum(d1 * d1, axis=-1) + jnp.sum(d2 * d2, axis=-1)
+
+
+def score_hypotheses(
+    h: Array,
+    src: Array,
+    tar: Array,
+    threshold: float,
+    point_mask: Array | None = None,
+    scoring: str = "inliers",
+):
+    """Score a batch of hypotheses against all correspondences.
+
+    Args:
+      h: (B, 3, 3) hypotheses (any scale).
+      src, tar: (N, 2) correspondences (leading batch dims broadcast).
+      threshold: inlier threshold in pixels (symmetric transfer).
+      point_mask: optional (N,) validity for padded point sets.
+      scoring: 'inliers' counts; 'msac' sums truncated quadratic gains;
+        'magsac' a fixed-sigma-ensemble soft score (MAGSAC++-style weighting).
+
+    Returns:
+      (scores (B,), inlier_mask (B, N)) — degenerate/non-finite hypotheses get
+      score -1 and empty masks.
+    """
+    r2 = _residual2(h, src, tar)  # (B, N)
+    t2 = jnp.asarray(threshold * threshold, r2.dtype)
+    finite = jnp.all(jnp.isfinite(h), axis=(-2, -1))
+    r2 = jnp.where(jnp.isfinite(r2), r2, jnp.inf)
+    inl = r2 < t2
+    if point_mask is not None:
+        inl = inl & point_mask
+    if scoring == "inliers":
+        score = jnp.sum(inl, axis=-1).astype(r2.dtype)
+    elif scoring == "msac":
+        gain = jnp.maximum(0.0, 1.0 - r2 / t2)
+        if point_mask is not None:
+            gain = jnp.where(point_mask, gain, 0.0)
+        score = jnp.sum(gain, axis=-1)
+    elif scoring == "magsac":
+        # Fixed sigma ensemble: average truncated-likelihood gains over a small
+        # set of noise scales (marginalizes sigma like MAGSAC++, static shape).
+        sigmas = jnp.asarray([0.5, 1.0, 2.0, 4.0], r2.dtype) * jnp.sqrt(t2)
+        g = jnp.maximum(0.0, 1.0 - r2[..., None] / (sigmas**2))
+        if point_mask is not None:
+            g = jnp.where(point_mask[..., None], g, 0.0)
+        score = jnp.mean(jnp.sum(g, axis=-2), axis=-1)
+    else:
+        raise ValueError(f"unknown scoring {scoring!r}")
+    score = jnp.where(finite, score, -1.0)
+    inl = inl & finite[..., None]
+    return score, inl
+
+
+def _irls_refine(h0: Array, src: Array, tar: Array, inl: Array, iters: int,
+                 threshold: float) -> Array:
+    """Local optimization: IRLS NDLT on the consensus set (LO-RANSAC step)."""
+    h = h0
+
+    def body(_, h):
+        r2 = _residual2(h[None], src, tar)[0]
+        w = jnp.where(r2 < threshold * threshold, 1.0, 0.0).astype(src.dtype)
+        w = w * inl_any  # never resurrect masked points
+        h_new = ndlt_h(src, tar, weights=w)
+        ok = jnp.all(jnp.isfinite(h_new)) & (jnp.sum(w) >= 4)
+        return jnp.where(ok, h_new, h)
+
+    inl_any = jnp.asarray(inl, src.dtype)
+    return jax.lax.fori_loop(0, iters, body, h)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ransac_homography(
+    key: Array,
+    src: Array,
+    tar: Array,
+    config: RansacConfig = RansacConfig(),
+    point_mask: Array | None = None,
+) -> RansacResult:
+    """Fit a homography to (N, 2) correspondences by vectorized RANSAC.
+
+    One jit-compiled, fixed-shape pipeline: sample -> batched minimal solve ->
+    score -> argmax consensus -> IRLS local refinement.
+
+    Args:
+      key: PRNG key.
+      src, tar: (N, 2) matched points.
+      config: static parameters.
+      point_mask: optional (N,) bool for padded sets.
+
+    Returns:
+      RansacResult with the best model (normalized), its inliers and score.
+    """
+    n = src.shape[-2]
+    solver = SOLVERS_H[config.solver]
+    idx = sample_minimal_sets(key, n, config.num_hypotheses)
+    s4 = jnp.take(src, idx, axis=0)  # (B, 4, 2)
+    t4 = jnp.take(tar, idx, axis=0)
+    h = solver(s4, t4)  # (B, 3, 3), up to scale
+
+    # Mask hypotheses built from degenerate/duplicate samples.
+    if config.solver in ("aca", "sks"):
+        valid = aca_valid_mask(s4, t4)
+        h = jnp.where(valid[..., None, None], h, jnp.nan)
+
+    scores, inl = score_hypotheses(
+        h, src, tar, config.threshold, point_mask, config.scoring
+    )
+    best = jnp.argmax(scores)
+    h_best = h[best]
+    inl_best = inl[best]
+
+    if config.refine_iters > 0:
+        h_best = _irls_refine(
+            h_best, src, tar, inl_best, config.refine_iters, config.threshold
+        )
+        sc, inl_ref = score_hypotheses(
+            h_best[None], src, tar, config.threshold, point_mask, config.scoring
+        )
+        better = sc[0] >= scores[best]
+        h_best = jnp.where(better, h_best, h[best])
+        inl_best = jnp.where(better, inl_ref[0], inl_best)
+        score_best = jnp.maximum(sc[0], scores[best])
+    else:
+        score_best = scores[best]
+
+    h_best = h_best / h_best[2, 2]
+    return RansacResult(
+        h=h_best,
+        inlier_mask=inl_best,
+        num_inliers=jnp.sum(inl_best).astype(jnp.int32),
+        score=score_best,
+    )
