@@ -1,0 +1,73 @@
+"""Descriptor matching on the MXU: distance matrix + mutual NN + ratio test."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from sks_tpu.features.descriptors import patch_descriptors
+from sks_tpu.features.harris import detect_corners
+
+__all__ = ["match_descriptors", "match_frames"]
+
+
+@partial(jax.jit, static_argnames=("ratio",))
+def match_descriptors(
+    d1: Array,
+    d2: Array,
+    valid1: Array | None = None,
+    valid2: Array | None = None,
+    ratio: float = 0.9,
+):
+    """Mutual-nearest-neighbor matches with Lowe ratio test.
+
+    Args:
+      d1: (K1, D) L2-normalized descriptors.  d2: (K2, D).
+      valid1/valid2: optional masks for padded keypoint slots.
+      ratio: Lowe first/second distance ratio threshold (squared distances).
+
+    Returns:
+      (idx2 (K1,) int32 — match of each d1 in d2, valid (K1,) bool).
+    """
+    # Squared L2 on unit vectors: 2 - 2 a.b — one MXU matmul.
+    sim = d1 @ d2.T  # (K1, K2)
+    if valid2 is not None:
+        sim = jnp.where(valid2[None, :], sim, -jnp.inf)
+    best2 = jnp.argmax(sim, axis=1)
+    s_sorted = jax.lax.top_k(sim, 2)[0]
+    d_best = 2.0 - 2.0 * s_sorted[:, 0]
+    d_second = 2.0 - 2.0 * s_sorted[:, 1]
+    passes_ratio = d_best < ratio * ratio * d_second
+
+    if valid1 is not None:
+        sim_t = jnp.where(valid1[:, None], sim, -jnp.inf)
+    else:
+        sim_t = sim
+    best1 = jnp.argmax(sim_t, axis=0)  # best d1 for each d2
+    mutual = best1[best2] == jnp.arange(d1.shape[0])
+
+    valid = mutual & passes_ratio
+    if valid1 is not None:
+        valid = valid & valid1
+    return best2.astype(jnp.int32), valid
+
+
+@partial(jax.jit, static_argnames=("num_corners", "patch"))
+def match_frames(img1: Array, img2: Array, num_corners: int = 512,
+                 patch: int = 8):
+    """Full detect->describe->match between two frames (fixed shapes).
+
+    Returns (pts1 (K, 2), pts2 (K, 2), valid (K,)) — correspondence arrays
+    ready for :func:`sks_tpu.robust.ransac_homography` (use ``valid`` as
+    ``point_mask``).
+    """
+    xy1, _, v1 = detect_corners(img1, num_corners)
+    xy2, _, v2 = detect_corners(img2, num_corners)
+    d1 = patch_descriptors(img1, xy1, patch)
+    d2 = patch_descriptors(img2, xy2, patch)
+    idx2, valid = match_descriptors(d1, d2, v1, v2)
+    pts2 = jnp.take(xy2, idx2, axis=0)
+    return xy1, pts2, valid

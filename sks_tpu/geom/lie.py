@@ -38,21 +38,32 @@ def hat3(w: Array) -> Array:
 
 
 def so3_exp(w: Array) -> Array:
-    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation."""
+    """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation.
+
+    Gradient-safe at w = 0: every denominator uses the *floored* theta so the
+    untaken `where` branch stays finite under AD (a raw 1/th2 at th2=0 is inf
+    and poisons the gradient even when masked).
+    """
     th2 = jnp.sum(w * w, axis=-1)
-    th = jnp.sqrt(jnp.maximum(th2, _EPS * _EPS))
+    th2_f = jnp.maximum(th2, _EPS * _EPS)
+    th = jnp.sqrt(th2_f)
     a = jnp.where(th2 > _EPS, jnp.sin(th) / th, 1.0 - th2 / 6.0)
-    b = jnp.where(th2 > _EPS, (1.0 - jnp.cos(th)) / th2, 0.5 - th2 / 24.0)
+    b = jnp.where(th2 > _EPS, (1.0 - jnp.cos(th)) / th2_f, 0.5 - th2 / 24.0)
     k = hat3(w)
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + a[..., None, None] * k + b[..., None, None] * (k @ k)
 
 
 def so3_log(r: Array) -> Array:
-    """(..., 3, 3) rotation -> (..., 3) axis-angle (|w| < pi)."""
+    """(..., 3, 3) rotation -> (..., 3) axis-angle (|w| < pi).
+
+    Gradient-safe at theta -> 0: arccos has an infinite derivative at
+    cos = 1, so the generic branch evaluates it on a *clipped* cosine (clip's
+    zero gradient in saturation kills the blowup) and the small-angle branch
+    expresses the factor through |v|^2 only.
+    """
     tr = jnp.trace(r, axis1=-2, axis2=-1)
     cos = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    th = jnp.arccos(cos)
     v = jnp.stack(
         [
             r[..., 2, 1] - r[..., 1, 2],
@@ -61,19 +72,26 @@ def so3_log(r: Array) -> Array:
         ],
         axis=-1,
     )
-    s = jnp.sin(th)
-    # w = th/(2 sin th) * v; near 0 -> v/2; near pi handled via symmetric part.
-    small = th < 1e-4
-    fac = jnp.where(small, 0.5 + th * th / 12.0, th / jnp.maximum(2 * s, _EPS))
+    lim = 1.0 - 1e-6
+    cos_c = jnp.clip(cos, -lim, lim)
+    th_c = jnp.arccos(cos_c)
+    sin_c = jnp.sqrt(1.0 - cos_c * cos_c)
+    fac_gen = th_c / (2.0 * sin_c)
+    s2 = 0.25 * jnp.sum(v * v, axis=-1)  # sin^2(theta)
+    fac_small = 0.5 + s2 / 12.0  # theta ~ sin for small angles
+    small = cos > 1.0 - 1e-5
+    fac = jnp.where(small, fac_small, fac_gen)
     w_generic = fac[..., None] * v
     # Near pi: |v| -> 0; recover axis from diagonal of (R + I)/2.
-    near_pi = th > jnp.pi - 1e-3
+    near_pi = cos < -1.0 + 1e-6
     d = jnp.stack([r[..., 0, 0], r[..., 1, 1], r[..., 2, 2]], axis=-1)
     axis2 = jnp.maximum((d + 1.0) * 0.5, 0.0)
-    axis = jnp.sqrt(axis2)
+    axis = jnp.sqrt(axis2 + _EPS * _EPS)
     axis = axis * jnp.where(v >= 0, 1.0, -1.0)
     nrm = jnp.linalg.norm(axis, axis=-1, keepdims=True)
-    w_pi = th[..., None] * axis / jnp.maximum(nrm, _EPS)
+    # arccos on the clipped cosine again — its gradient is infinite at ±1 and
+    # jnp.where does not block NaN gradients of the untaken branch.
+    w_pi = th_c[..., None] * axis / jnp.maximum(nrm, _EPS)
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
@@ -82,9 +100,10 @@ def se3_exp(xi: Array) -> Array:
     v, w = xi[..., :3], xi[..., 3:]
     r = so3_exp(w)
     th2 = jnp.sum(w * w, axis=-1)
-    th = jnp.sqrt(jnp.maximum(th2, _EPS * _EPS))
-    b = jnp.where(th2 > _EPS, (1.0 - jnp.cos(th)) / th2, 0.5 - th2 / 24.0)
-    c = jnp.where(th2 > _EPS, (th - jnp.sin(th)) / (th2 * th), 1.0 / 6.0)
+    th2_f = jnp.maximum(th2, _EPS * _EPS)  # floored denominators: AD-safe at 0
+    th = jnp.sqrt(th2_f)
+    b = jnp.where(th2 > _EPS, (1.0 - jnp.cos(th)) / th2_f, 0.5 - th2 / 24.0)
+    c = jnp.where(th2 > _EPS, (th - jnp.sin(th)) / (th2_f * th), 1.0 / 6.0)
     k = hat3(w)
     eye = jnp.eye(3, dtype=xi.dtype)
     jl = eye + b[..., None, None] * k + c[..., None, None] * (k @ k)
@@ -102,15 +121,19 @@ def se3_log(g: Array) -> Array:
     t = g[..., :3, 3]
     w = so3_log(r)
     th2 = jnp.sum(w * w, axis=-1)
-    th = jnp.sqrt(jnp.maximum(th2, _EPS * _EPS))
     k = hat3(w)
     eye = jnp.eye(3, dtype=g.dtype)
     half = 0.5
-    # J_l^{-1} = I - k/2 + (1/th^2 - (1+cos th)/(2 th sin th)) k^2
+    # J_l^{-1} = I - k/2 + (1/th^2 - (1+cos th)/(2 th sin th)) k^2.
+    # Gradient-safe: the generic branch uses a floored th2 so the untaken
+    # branch never produces inf/nan under vjp (double-where pattern).
+    th2_safe = jnp.maximum(th2, 1e-8)
+    th_safe = jnp.sqrt(th2_safe)
     coef = jnp.where(
-        th2 > _EPS,
-        1.0 / th2 - (1.0 + jnp.cos(th)) / jnp.maximum(2.0 * th * jnp.sin(th), _EPS),
-        1.0 / 12.0,
+        th2 > 1e-8,
+        1.0 / th2_safe
+        - (1.0 + jnp.cos(th_safe)) / (2.0 * th_safe * jnp.sin(th_safe)),
+        1.0 / 12.0 + th2 / 720.0,
     )
     jli = eye - half * k + coef[..., None, None] * (k @ k)
     v = jnp.einsum("...ij,...j->...i", jli, t)

@@ -113,30 +113,44 @@ def decompose_homography(hn: Array):
     return {"r": r, "t": t, "n": n, "degenerate": degenerate}
 
 
-def select_pose(cands: dict, pts1n: Array, pts2n: Array):
+def select_pose(cands: dict, pts1n: Array, pts2n: Array,
+                normal_prior: Array | None = None):
     """Pick the physical candidate by cheirality (positive depths).
+
+    A single homography generically admits *two* cheirality-consistent
+    interpretations (the classic twofold ambiguity); ``normal_prior`` — an
+    approximate plane normal in the camera-1 frame, e.g. the tracked normal in
+    VO — adds a tie-breaking bonus of ``0.1 * (n . prior)`` to each candidate.
 
     Args:
       cands: output of :func:`decompose_homography`.
       pts1n, pts2n: (..., N, 2) correspondences in *normalized camera*
         coordinates (K^{-1} applied).
+      normal_prior: optional (..., 3) unit vector.
 
     Returns:
       (r (...,3,3), t (...,3), n (...,3), score (...,)) — score is the
-      fraction of points passing cheirality for the winner.
+      fraction of points passing cheirality for the winner (prior bonus
+      excluded).
     """
     r, t, n = cands["r"], cands["t"], cands["n"]
     m1 = jnp.concatenate([pts1n, jnp.ones_like(pts1n[..., :1])], axis=-1)
-    m2 = jnp.concatenate([pts2n, jnp.ones_like(pts2n[..., :1])], axis=-1)
 
-    # Visibility: the plane must be in front of camera 1: n . m1 > 0
-    vis1 = jnp.einsum("...kj,...nj->...kn", n, m1) > 0  # (..., 4, N)
-    # ... and in front of camera 2: (R n) . m2 > 0 up to parallax; use the
-    # transferred normal n2 = R n (+ t n^T n terms dropped — test sign only).
-    n2 = jnp.einsum("...kij,...kj->...ki", r, n)
-    vis2 = jnp.einsum("...kj,...nj->...kn", n2, m2) > 0
+    # Cheirality. With the n_z>0 canonicalization and plane depth d=1, the
+    # camera-1 point on the plane along ray m1 is X1 = m1 / (n . m1):
+    #   depth-1 positivity:  n . m1 > 0
+    #   depth-2 positivity:  z2 = [R X1 + t]_z > 0
+    ndotm = jnp.einsum("...kj,...nj->...kn", n, m1)  # (..., 4, N)
+    vis1 = ndotm > 0
+    rx = jnp.einsum("...kij,...nj->...kni", r, m1)  # (..., 4, N, 3)
+    z2 = rx[..., 2] / jnp.where(ndotm == 0, 1e-12, ndotm) + t[..., None, 2]
+    vis2 = z2 > 0
     good = (vis1 & vis2).mean(axis=-1)  # (..., 4)
-    best = jnp.argmax(good, axis=-1)
+    ranking = good
+    if normal_prior is not None:
+        bonus = jnp.einsum("...kj,...j->...k", n, normal_prior)
+        ranking = ranking + 0.1 * bonus
+    best = jnp.argmax(ranking, axis=-1)
 
     r_b = jnp.take_along_axis(
         r, best[..., None, None, None].astype(jnp.int32), axis=-3
@@ -151,7 +165,8 @@ def select_pose(cands: dict, pts1n: Array, pts2n: Array):
     return r_b, t_b, n_b, score
 
 
-def recover_pose(h: Array, k1: Array, k2: Array, pts1: Array, pts2: Array):
+def recover_pose(h: Array, k1: Array, k2: Array, pts1: Array, pts2: Array,
+                 normal_prior: Array | None = None):
     """End-to-end: pixel homography + intrinsics -> (R, t/d, n, score)."""
     k1i = jnp.linalg.inv(k1)
     k2i = jnp.linalg.inv(k2)
@@ -163,4 +178,6 @@ def recover_pose(h: Array, k1: Array, k2: Array, pts1: Array, pts2: Array):
         mn = jnp.einsum("...ij,...nj->...ni", ki, m)
         return mn[..., :2] / mn[..., 2:3]
 
-    return select_pose(cands, norm_pts(pts1, k1i), norm_pts(pts2, k2i))
+    return select_pose(
+        cands, norm_pts(pts1, k1i), norm_pts(pts2, k2i), normal_prior
+    )

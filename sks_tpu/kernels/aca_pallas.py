@@ -115,8 +115,10 @@ def aca_h_pallas(src: Array, tar: Array) -> Array:
     return from_soa_h(h)
 
 
-def _solve_score_kernel(src_ref, tar_ref, pts_ref, thr_ref, score_ref,
+def _solve_score_kernel(pts_ref, thr_ref, src_ref, tar_ref, score_ref,
                         *, n_points):
+    # pts_ref: (4*N,) flattened [xs, ys, x's, y's] in SMEM — scalar memory is
+    # the only space Mosaic allows dynamically-indexed per-point loads from.
     s = [src_ref[i] for i in range(8)]
     t = [tar_ref[i] for i in range(8)]
     h00, h01, h02, h10, h11, h12, h20, h21, h22 = aca_core(*s, *t)
@@ -137,10 +139,10 @@ def _solve_score_kernel(src_ref, tar_ref, pts_ref, thr_ref, score_ref,
     score = jnp.zeros(shape, jnp.float32)
 
     def body(j, score):
-        x = pts_ref[0, j]
-        y = pts_ref[1, j]
-        xp = pts_ref[2, j]
-        yp = pts_ref[3, j]
+        x = pts_ref[j]
+        y = pts_ref[n_points + j]
+        xp = pts_ref[2 * n_points + j]
+        yp = pts_ref[3 * n_points + j]
         # Forward transfer.
         w = h20 * x + h21 * y + h22
         inv_w = 1.0 / w
@@ -168,7 +170,8 @@ def aca_solve_score_soa(
 
     Args:
       src, tar: (8, M, 128) SoA minimal sets.
-      pts: (4, N) correspondence set rows [x, y, x', y'] (replicated in VMEM).
+      pts: (4, N) correspondence set rows [x, y, x', y'] — lives in SMEM
+        (scalar memory), so keep N <= ~2048.
       threshold: scalar — squared pixel threshold on the *sum* of forward and
         reverse squared transfer errors.
 
@@ -187,10 +190,10 @@ def aca_solve_score_soa(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # pts, flattened (4N,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold
             spec_in,
             spec_in,
-            pl.BlockSpec((4, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
@@ -200,4 +203,5 @@ def aca_solve_score_soa(
             bytes_accessed=(16 + 1) * m * LANES * 4,
             transcendentals=0,
         ),
-    )(src, tar, pts, jnp.asarray(threshold, src.dtype).reshape(1))
+    )(pts.reshape(4 * n), jnp.asarray(threshold, src.dtype).reshape(1),
+      src, tar)

@@ -55,7 +55,87 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-__all__ = ["sks_h", "sks", "sks_valid_mask"]
+__all__ = ["sks_core", "sks_h", "sks", "sks_valid_mask"]
+
+
+def sks_core(
+    m1x, m1y, n1x, n1y, p1x, p1y, q1x, q1y,
+    m2x, m2y, n2x, n2y, p2x, p2y, q2x, q2y,
+):
+    """Straight-line SKS on scalar-like components (shared by jnp and Pallas).
+
+    Returns the 9 homography entries row-major, up to scale.  Contains the
+    algorithm's intrinsic reciprocals (similarity normalization, kernel solve)
+    — 5 per hypothesis.
+    """
+    # Similarity-canonical coordinates of P, Q on each plane.
+    w1x = 0.5 * (n1x - m1x)
+    w1y = 0.5 * (n1y - m1y)
+    o1x = 0.5 * (n1x + m1x)
+    o1y = 0.5 * (n1y + m1y)
+    inv1 = 1.0 / (w1x * w1x + w1y * w1y)
+    p1dx = p1x - o1x
+    p1dy = p1y - o1y
+    q1dx = q1x - o1x
+    q1dy = q1y - o1y
+    p = (w1x * p1dx + w1y * p1dy) * inv1
+    q = (-w1y * p1dx + w1x * p1dy) * inv1
+    r = (w1x * q1dx + w1y * q1dy) * inv1
+    s = (-w1y * q1dx + w1x * q1dy) * inv1
+
+    w2x = 0.5 * (n2x - m2x)
+    w2y = 0.5 * (n2y - m2y)
+    o2x = 0.5 * (n2x + m2x)
+    o2y = 0.5 * (n2y + m2y)
+    inv2 = 1.0 / (w2x * w2x + w2y * w2y)
+    p2dx = p2x - o2x
+    p2dy = p2y - o2y
+    q2dx = q2x - o2x
+    q2dy = q2y - o2y
+    p2 = (w2x * p2dx + w2y * p2dy) * inv2
+    q2 = (-w2y * p2dx + w2x * p2dy) * inv2
+    r2 = (w2x * q2dx + w2y * q2dy) * inv2
+    s2 = (-w2y * q2dx + w2x * q2dy) * inv2
+
+    # 4-DOF kernel fixing (+-1, 0): symmetric 2x2 solve (module docstring).
+    k1 = q / q2
+    k3 = p2 * k1
+    k2 = s / s2
+    k4 = r2 * k2
+    g = p * s - r * q
+    h_ = s - q
+    inv_det = 1.0 / (g * g - h_ * h_)
+    rhs_a = k3 * s - k4 * q
+    rhs_u = k1 * s - k2 * q
+    a = (g * rhs_a - h_ * rhs_u) * inv_det
+    u = (g * rhs_u - h_ * rhs_a) * inv_det
+    inv_q = 1.0 / q
+    v = (k1 - a - u * p) * inv_q
+    b = (k3 - a * p - u) * inv_q
+
+    # H_L = H_S2^{-1} @ H_K.
+    l00 = w2x * a + o2x * u
+    l01 = w2x * b - w2y + o2x * v
+    l02 = w2x * u + o2x * a
+    l10 = w2y * a + o2y * u
+    l11 = w2y * b + w2x + o2y * v
+    l12 = w2y * u + o2y * a
+
+    # H = H_L @ H_S1h (up to scale).
+    t0 = -(w1x * o1x + w1y * o1y)
+    t1 = w1y * o1x - w1x * o1y
+    wsq1 = w1x * w1x + w1y * w1y
+
+    h00 = l00 * w1x - l01 * w1y
+    h01 = l00 * w1y + l01 * w1x
+    h02 = l00 * t0 + l01 * t1 + l02 * wsq1
+    h10 = l10 * w1x - l11 * w1y
+    h11 = l10 * w1y + l11 * w1x
+    h12 = l10 * t0 + l11 * t1 + l12 * wsq1
+    h20 = u * w1x - v * w1y
+    h21 = u * w1y + v * w1x
+    h22 = u * t0 + v * t1 + a * wsq1
+    return h00, h01, h02, h10, h11, h12, h20, h21, h22
 
 
 def _canon(pts: Array):
@@ -84,29 +164,6 @@ def _canon(pts: Array):
     return w, o, rot(pts[..., 2, :]), rot(pts[..., 3, :])
 
 
-def _kernel_params(p1, q1, p2, q2):
-    """Solve the 4-DOF kernel from canonical correspondences (see docstring)."""
-    p, q = p1[..., 0], p1[..., 1]
-    r, s = q1[..., 0], q1[..., 1]
-    k1 = q / p2[..., 1]
-    k3 = p2[..., 0] * k1
-    k2 = s / q2[..., 1]
-    k4 = q2[..., 0] * k2
-
-    g = p * s - r * q
-    h = s - q
-    det = g * g - h * h
-    rhs_a = k3 * s - k4 * q
-    rhs_u = k1 * s - k2 * q
-    inv_det = 1.0 / det
-    a = (g * rhs_a - h * rhs_u) * inv_det
-    u = (g * rhs_u - h * rhs_a) * inv_det
-    inv_q = 1.0 / q
-    v = (k1 - a - u * p) * inv_q
-    b = (k3 - a * p - u) * inv_q
-    return a, b, u, v
-
-
 def sks_h(src: Array, tar: Array) -> Array:
     """Up-to-scale SKS homography.
 
@@ -117,49 +174,12 @@ def sks_h(src: Array, tar: Array) -> Array:
     Returns:
       (..., 3, 3) homography, unnormalized; batch dims broadcast.
     """
-    w1, o1, p1, q1 = _canon(src)
-    w2, o2, p2, q2 = _canon(tar)
-    a, b, u, v = _kernel_params(p1, q1, p2, q2)
-
-    # H_L = H_S2^{-1} @ H_K, with H_S2^{-1} = [[w2x, -w2y, o2x],[w2y, w2x, o2y],[0,0,1]].
-    w2x, w2y = w2[..., 0], w2[..., 1]
-    o2x, o2y = o2[..., 0], o2[..., 1]
-    l00 = w2x * a + o2x * u
-    l01 = w2x * b - w2y + o2x * v
-    l02 = w2x * u + o2x * a
-    l10 = w2y * a + o2y * u
-    l11 = w2y * b + w2x + o2y * v
-    l12 = w2y * u + o2y * a
-    l20 = u
-    l21 = v
-    l22 = a
-
-    # H = H_L @ H_S1h, H_S1h = [[w1x, w1y, t0],[-w1y, w1x, t1],[0, 0, |w1|^2]]
-    # with t = -Rw1 @ o1 (up to scale; the |w1|^2 division is deferred).
-    w1x, w1y = w1[..., 0], w1[..., 1]
-    o1x, o1y = o1[..., 0], o1[..., 1]
-    t0 = -(w1x * o1x + w1y * o1y)
-    t1 = w1y * o1x - w1x * o1y
-    wsq1 = w1x * w1x + w1y * w1y
-
-    h00 = l00 * w1x - l01 * w1y
-    h01 = l00 * w1y + l01 * w1x
-    h02 = l00 * t0 + l01 * t1 + l02 * wsq1
-    h10 = l10 * w1x - l11 * w1y
-    h11 = l10 * w1y + l11 * w1x
-    h12 = l10 * t0 + l11 * t1 + l12 * wsq1
-    h20 = l20 * w1x - l21 * w1y
-    h21 = l20 * w1y + l21 * w1x
-    h22 = l20 * t0 + l21 * t1 + l22 * wsq1
-
-    return jnp.stack(
-        [
-            jnp.stack([h00, h01, h02], axis=-1),
-            jnp.stack([h10, h11, h12], axis=-1),
-            jnp.stack([h20, h21, h22], axis=-1),
-        ],
-        axis=-2,
+    sc = src.reshape(*src.shape[:-2], 8)
+    tc = tar.reshape(*tar.shape[:-2], 8)
+    h = sks_core(
+        *(sc[..., i] for i in range(8)), *(tc[..., i] for i in range(8))
     )
+    return jnp.stack(h, axis=-1).reshape(*h[0].shape, 3, 3)
 
 
 def sks(src: Array, tar: Array) -> Array:

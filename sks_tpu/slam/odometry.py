@@ -1,0 +1,127 @@
+"""Planar visual odometry: homography chain -> pose trajectory (batched).
+
+The BASELINE.json VO config ("homography-chain pose recovery + pose-graph
+optimization, ATE within reference bound"): for each consecutive frame pair,
+fit a homography by vectorized RANSAC (vmapped over all pairs at once — the
+whole sequence is one jit), decompose to relative pose with a known plane
+depth fixing the monocular scale, chain, and optionally relax with the pose
+graph.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from sks_tpu.geom.pose import recover_pose
+from sks_tpu.robust.ransac import RansacConfig, ransac_homography
+from sks_tpu.slam.posegraph import PoseGraph, optimize_posegraph
+
+__all__ = ["vo_trajectory", "chain_poses"]
+
+
+def _rt_to_se3(r: Array, t: Array) -> Array:
+    top = jnp.concatenate([r, t[..., None]], axis=-1)
+    bot = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], r.dtype), (*top.shape[:-2], 1, 4)
+    )
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _inv_se3(g: Array) -> Array:
+    r = g[..., :3, :3]
+    t = g[..., :3, 3]
+    rt = jnp.swapaxes(r, -1, -2)
+    ti = -jnp.einsum("...ij,...j->...i", rt, t)
+    top = jnp.concatenate([rt, ti[..., None]], axis=-1)
+    bot = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], g.dtype), (*top.shape[:-2], 1, 4)
+    )
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def chain_poses(rel: Array) -> Array:
+    """Chain T-1 relative cam_i->cam_{i+1} transforms into T world poses.
+
+    rel: (T-1, 4, 4) with X_{i+1} = rel_i X_i.  Returns (T, 4, 4) cam->world
+    poses, first = identity.  Uses an associative scan (log-depth on device).
+    """
+    inv_rel = _inv_se3(rel)  # cam_{i+1} -> cam_i
+    chained = jax.lax.associative_scan(lambda a, b: a @ b, inv_rel)
+    eye = jnp.eye(4, dtype=rel.dtype)[None]
+    return jnp.concatenate([eye, chained], axis=0)
+
+
+@partial(jax.jit, static_argnames=("config", "smooth", "plane_depth"))
+def vo_trajectory(
+    key: Array,
+    pts1: Array,
+    pts2: Array,
+    k_mat: Array,
+    config: RansacConfig = RansacConfig(num_hypotheses=1024),
+    plane_depth: float = 1.0,
+    smooth: bool = False,
+    plane_normal: Array | None = None,
+):
+    """Trajectory from per-pair correspondences.
+
+    Args:
+      key: PRNG key (folded per pair).
+      pts1, pts2: (T-1, N, 2) matched pixels for consecutive pairs.
+      k_mat: (3, 3) intrinsics.
+      plane_depth: metric distance of the plane from camera 0 (fixes scale).
+      smooth: run pose-graph relaxation over the chained trajectory.
+      plane_normal: approximate plane normal in the camera frame (default
+        frontal, (0,0,1)) — resolves the homography twofold ambiguity.
+
+    Returns:
+      dict: poses (T, 4, 4) cam->world, rel (T-1, 4, 4), num_inliers (T-1,).
+    """
+    t_minus_1 = pts1.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(t_minus_1)
+    )
+    if plane_normal is None:
+        plane_normal = jnp.asarray([0.0, 0.0, 1.0], pts1.dtype)
+
+    def fit_one(k, p1, p2):
+        res = ransac_homography(k, p1, p2, config)
+        r, t, n, score = recover_pose(
+            res.h, k_mat, k_mat, p1, p2, normal_prior=plane_normal
+        )
+        return r, t, n, res.num_inliers
+
+    r, t_over_d, n, ninl = jax.vmap(fit_one)(keys, pts1, pts2)
+
+    # Monocular scale: the homography yields t/d with d the *current* plane
+    # depth.  Track d along the chain: in cam_{i+1} coords the plane is
+    # (R n) . X = d + (R n) . t, so d_{i+1} = d_i + n_{i+1} . t_i.
+    def scale_step(d, rtn):
+        r_i, tt_i, n_i = rtn
+        t_i = tt_i * d
+        n_new = r_i @ n_i
+        d_new = d + jnp.dot(n_new, t_i)
+        return d_new, t_i
+
+    _, t_metric = jax.lax.scan(
+        scale_step, jnp.asarray(plane_depth, r.dtype), (r, t_over_d, n)
+    )
+    rel = _rt_to_se3(r, t_metric)
+    poses = chain_poses(rel)
+
+    if smooth:
+        edges = jnp.stack(
+            [jnp.arange(t_minus_1), jnp.arange(1, t_minus_1 + 1)], axis=-1
+        ).astype(jnp.int32)
+        graph = PoseGraph(
+            poses=poses,
+            edges=edges,
+            meas=_inv_se3(rel),
+            weights=jnp.asarray(ninl, poses.dtype),
+        )
+        poses = optimize_posegraph(graph, gn_iters=5, cg_iters=30).poses
+
+    return {"poses": poses, "rel": rel, "num_inliers": ninl}

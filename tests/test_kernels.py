@@ -1,0 +1,94 @@
+"""Pallas kernels in interpreter mode (CPU CI; real-TPU runs happen in bench).
+
+force_tpu_interpret_mode executes the same kernel code paths without TPU
+hardware, so layout/indexing bugs are caught in CI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from conftest import jit_of
+from sks_tpu.geom.homography import normalize_h
+from sks_tpu.kernels.aca_pallas import (
+    aca_solve_score_soa,
+    aca_solve_soa,
+    from_soa_h,
+    to_soa,
+)
+from sks_tpu.ops import aca_h
+from sks_tpu.robust.ransac import score_hypotheses
+from sks_tpu.utils.synth import random_quad_pairs
+
+B = 256  # 2 sublane tiles of 128 lanes
+
+
+@pytest.fixture
+def soa_inputs(key):
+    src, tar = jit_of(lambda k: random_quad_pairs(k, B, jnp.float32))(key)
+    return src, tar, to_soa(src), to_soa(tar)
+
+
+def test_soa_roundtrip(soa_inputs):
+    src, _, s_soa, _ = soa_inputs
+    assert s_soa.shape == (8, B // 128, 128)
+    back = np.asarray(s_soa.reshape(8, B).T.reshape(B, 4, 2))
+    assert np.allclose(back, np.asarray(src))
+
+
+def test_pallas_solve_matches_jnp(soa_inputs):
+    src, tar, s_soa, t_soa = soa_inputs
+    with pltpu.force_tpu_interpret_mode():
+        h_soa = aca_solve_soa(s_soa, t_soa, tile=1)
+    h_p = normalize_h(from_soa_h(h_soa), "fro")
+    h_j = normalize_h(jit_of(aca_h)(src, tar), "fro")
+    assert np.allclose(np.asarray(h_p), np.asarray(h_j), atol=1e-5)
+
+
+def test_pallas_solve_score_matches_reference(key, soa_inputs):
+    src, tar, s_soa, t_soa = soa_inputs
+    # Points: inliers of the first hypothesis's homography + noise points.
+    n = 64
+    from sks_tpu.utils.synth import random_correspondences
+
+    ps, pt, _ = jit_of(
+        lambda k: random_correspondences(k, (), n, 1.0, jnp.float32)
+    )(key)
+    pts = jnp.stack([ps[:, 0], ps[:, 1], pt[:, 0], pt[:, 1]])  # (4, N)
+    thr = jnp.asarray(9.0, jnp.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        counts = aca_solve_score_soa(s_soa, t_soa, pts, thr, tile=1)
+    counts = np.asarray(counts.reshape(B))
+
+    h = aca_h(src, tar)
+    # Reference scoring counts r2_fwd + r2_bwd < thr (score_hypotheses uses
+    # the same symmetric metric).
+    sc, _ = score_hypotheses(h, ps, pt, 3.0)
+    assert counts.shape == (B,)
+    assert np.allclose(counts, np.asarray(sc), atol=0.5), (
+        counts[:8],
+        np.asarray(sc)[:8],
+    )
+
+
+def test_pallas_sks_matches_jnp(soa_inputs):
+    from sks_tpu.kernels.sks_pallas import sks_solve_soa
+    from sks_tpu.ops import sks_h
+
+    src, tar, s_soa, t_soa = soa_inputs
+    with pltpu.force_tpu_interpret_mode():
+        h_soa = sks_solve_soa(s_soa, t_soa, tile=1)
+    h_p = normalize_h(from_soa_h(h_soa), "fro")
+    h_j = normalize_h(jit_of(sks_h)(src, tar), "fro")
+    assert np.allclose(np.asarray(h_p), np.asarray(h_j), atol=1e-4)
+
+
+def test_pallas_chain_dependency_is_noop(soa_inputs):
+    _, _, s_soa, t_soa = soa_inputs
+    with pltpu.force_tpu_interpret_mode():
+        h0 = aca_solve_soa(s_soa, t_soa, tile=1)
+        h1 = aca_solve_soa(s_soa, t_soa, chain=jnp.float32(123.0), tile=1)
+    assert np.allclose(np.asarray(h0), np.asarray(h1))

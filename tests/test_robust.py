@@ -1,0 +1,95 @@
+"""RANSAC layer: outlier rejection, scoring modes, sharded == single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import jit_of
+from sks_tpu.geom.homography import apply_homography, normalize_h
+from sks_tpu.parallel import make_mesh, sharded_ransac_homography
+from sks_tpu.robust import RansacConfig, ransac_homography
+from sks_tpu.utils.synth import random_correspondences
+
+
+def _contaminated(key, n=256, outlier_frac=0.5, noise=0.5, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    src, tar, h = random_correspondences(k1, (), n, noise, dtype)
+    n_out = int(n * outlier_frac)
+    junk = jax.random.uniform(k2, (n_out, 2), dtype, 0.0, 640.0)
+    tar = tar.at[:n_out].set(junk)
+    inlier_mask = jnp.arange(n) >= n_out
+    return src, tar, h, inlier_mask
+
+
+@pytest.mark.parametrize("scoring", ["inliers", "msac", "magsac"])
+def test_ransac_rejects_outliers(key, scoring):
+    src, tar, h_true, true_inl = jit_of(
+        lambda k: _contaminated(k)
+    )(key)
+    config = RansacConfig(num_hypotheses=1024, threshold=4.0, scoring=scoring)
+    res = ransac_homography(key, src, tar, config)
+    # The fit must agree with the ground-truth homography on the inlier set.
+    err = apply_homography(res.h, src) - tar
+    err = jnp.sqrt(jnp.sum(err * err, axis=-1))
+    inlier_err = jnp.where(true_inl, err, 0.0).sum() / true_inl.sum()
+    assert float(inlier_err) < 2.0, float(inlier_err)
+    # And its inlier set must be essentially the true one.
+    agree = jnp.mean((res.inlier_mask == true_inl).astype(jnp.float32))
+    assert float(agree) > 0.95, float(agree)
+
+
+@pytest.mark.parametrize("solver", ["aca", "sks", "rho_ge"])
+def test_ransac_solvers(key, solver):
+    src, tar, h_true, _ = jit_of(lambda k: _contaminated(k, outlier_frac=0.3))(key)
+    config = RansacConfig(num_hypotheses=512, threshold=4.0, solver=solver)
+    res = ransac_homography(key, src, tar, config)
+    assert int(res.num_inliers) > 150
+
+
+def test_ransac_no_refine(key):
+    src, tar, _, _ = jit_of(lambda k: _contaminated(k))(key)
+    config = RansacConfig(num_hypotheses=512, threshold=4.0, refine_iters=0)
+    res = ransac_homography(key, src, tar, config)
+    assert int(res.num_inliers) > 100
+
+
+def test_sharded_matches_hypothesis_union(key):
+    """Sharded RANSAC must return a model at least as good as any single
+    device's best, and identical across runs (deterministic)."""
+    src, tar, _, _ = jit_of(lambda k: _contaminated(k, n=128))(key)
+    mesh = make_mesh({"hyp": 8})
+    config = RansacConfig(num_hypotheses=512, threshold=4.0, refine_iters=0)
+    res1 = jax.jit(
+        lambda k, s, t: sharded_ransac_homography(mesh, k, s, t, config)
+    )(key, src, tar)
+    res2 = jax.jit(
+        lambda k, s, t: sharded_ransac_homography(mesh, k, s, t, config)
+    )(key, src, tar)
+    assert np.allclose(np.asarray(res1.h), np.asarray(res2.h))
+    # n=128 with 50% contamination -> 64 true inliers; expect most found.
+    assert int(res1.num_inliers) > 55
+
+    # Equivalence: running the same per-device streams unsharded gives the
+    # same winning score.
+    from sks_tpu.ops import SOLVERS_H
+    from sks_tpu.robust.ransac import sample_minimal_sets, score_hypotheses
+
+    best = -1.0
+    for dev in range(8):
+        k = jax.random.fold_in(key, dev)
+        idx = sample_minimal_sets(k, src.shape[0], 64)
+        h = SOLVERS_H["aca"](jnp.take(src, idx, 0), jnp.take(tar, idx, 0))
+        sc, _ = score_hypotheses(h, src, tar, 4.0)
+        best = max(best, float(jnp.max(sc)))
+    assert abs(best - float(res1.score)) < 1e-3, (best, float(res1.score))
+
+
+def test_ransac_jit_shapes(key):
+    """Whole pipeline is one fixed-shape jit: no recompilation across keys."""
+    src, tar, _, _ = jit_of(lambda k: _contaminated(k, n=64))(key)
+    config = RansacConfig(num_hypotheses=256, threshold=4.0)
+    f = jax.jit(lambda k: ransac_homography(k, src, tar, config))
+    r1 = f(jax.random.PRNGKey(1))
+    r2 = f(jax.random.PRNGKey(2))
+    assert r1.h.shape == r2.h.shape == (3, 3)
