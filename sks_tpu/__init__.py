@@ -35,6 +35,9 @@ from sks_tpu.ops import (  # noqa: F401
     ho,
     solve_h,
     SOLVERS,
+    aca_factors,
+    sks_factors,
+    sks_kernel_chain,
 )
 from sks_tpu.geom.homography import (  # noqa: F401
     apply_homography,

@@ -15,3 +15,4 @@ from sks_tpu.models.deep_homography import (  # noqa: F401
     create_train_state,
     train_step,
 )
+from sks_tpu.models.heads import HEAD_METHODS, offsets_to_h  # noqa: F401

@@ -8,11 +8,34 @@ with one dtype-polymorphic source (see SURVEY.md §1).
 
 from sks_tpu.ops.aca import aca, aca_h, aca_valid_mask  # noqa: F401
 from sks_tpu.ops.sks import sks, sks_h, sks_valid_mask  # noqa: F401
-from sks_tpu.ops.aca_rect import aca_rect, aca_rect_h, rect_corners  # noqa: F401
+from sks_tpu.ops.aca_rect import (  # noqa: F401
+    aca_qr,
+    aca_qr_h,
+    aca_rect,
+    aca_rect_h,
+    aca_square,
+    aca_square_h,
+    rect_corners,
+)
 from sks_tpu.ops.ndlt import ndlt, ndlt_h  # noqa: F401
 from sks_tpu.ops.ho import ho, ho_h  # noqa: F401
 from sks_tpu.ops.gpt import gpt_lu  # noqa: F401
 from sks_tpu.ops.ge import rho_ge  # noqa: F401
+from sks_tpu.ops.factors import (  # noqa: F401
+    ACAFactors,
+    SKSFactors,
+    aca_factors,
+    sks_factors,
+    sks_kernel_chain,
+)
+from sks_tpu.ops.df64 import (  # noqa: F401
+    DF,
+    aca_df64,
+    aca_df64_h,
+    df_from_f64,
+    df_lift,
+    df_to_f64,
+)
 from sks_tpu.ops import linalg  # noqa: F401
 
 #: 4-point solvers, name -> callable(src, tar) -> normalized H.

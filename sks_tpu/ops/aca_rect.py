@@ -25,7 +25,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-__all__ = ["aca_rect_h", "aca_rect", "rect_corners"]
+__all__ = [
+    "aca_rect_h",
+    "aca_rect",
+    "aca_square_h",
+    "aca_square",
+    "aca_qr_h",
+    "aca_qr",
+    "rect_corners",
+]
 
 
 def rect_corners(origin: Array, size: Array) -> Array:
@@ -48,16 +56,12 @@ def rect_corners(origin: Array, size: Array) -> Array:
     )
 
 
-def aca_rect_h(tar: Array, origin: Array, size: Array) -> Array:
-    """Up-to-scale homography from an axis-aligned rect to a quadrilateral.
+def _target_mid(tar: Array):
+    """Target-side factor ``H_mid = H_A2^{-1} @ H_C`` of the rect family.
 
-    Args:
-      tar: (..., 4, 2) target points corresponding to :func:`rect_corners` order.
-      origin: (..., 2) rect top-left (x0, y0).  Broadcasts against ``tar``.
-      size: (..., 2) rect (width, height).
-
-    Returns:
-      (..., 3, 3) homography, unnormalized.
+    Shared by every source-rectangle specialization — the rect/square/QR
+    variants differ only in the (trivial) source-side factor.  Returns the six
+    upper entries of H_mid plus its last row ``(c, d, e)``.
     """
     m2 = tar[..., 0, :]
     e2 = tar[..., 1, :] - m2
@@ -77,13 +81,27 @@ def aca_rect_h(tar: Array, origin: Array, size: Array) -> Array:
     de = -delta
 
     m2x, m2y = m2[..., 0], m2[..., 1]
-    # H_mid = H_A2^{-1} @ H_C (identical structure to ops.aca).
     t00 = e2x * ce + m2x * c
     t01 = f2x * de + m2x * d
     t02 = m2x * e
     t10 = e2y * ce + m2y * c
     t11 = f2y * de + m2y * d
     t12 = m2y * e
+    return t00, t01, t02, t10, t11, t12, c, d, e
+
+
+def aca_rect_h(tar: Array, origin: Array, size: Array) -> Array:
+    """Up-to-scale homography from an axis-aligned rect to a quadrilateral.
+
+    Args:
+      tar: (..., 4, 2) target points corresponding to :func:`rect_corners` order.
+      origin: (..., 2) rect top-left (x0, y0).  Broadcasts against ``tar``.
+      size: (..., 2) rect (width, height).
+
+    Returns:
+      (..., 3, 3) homography, unnormalized.
+    """
+    t00, t01, t02, t10, t11, t12, c, d, e = _target_mid(tar)
 
     # Right factor: [[h, 0, -x0 h], [0, w, -y0 w], [0, 0, w h]] (up to scale).
     x0, y0 = origin[..., 0], origin[..., 1]
@@ -118,4 +136,76 @@ def aca_rect(tar: Array, origin: Array, size: Array) -> Array:
     use :func:`aca_rect_h` there.
     """
     hm = aca_rect_h(tar, origin, size)
+    return hm / hm[..., 2:3, 2:3]
+
+
+def aca_square_h(tar: Array, origin: Array, side: Array) -> Array:
+    """Up-to-scale homography from an axis-aligned *square* to a quadrilateral.
+
+    The square case of :func:`aca_rect_h` (the reference counts 14 vector ops /
+    44 FLOPs, ``README.md:57``, ``Matlab Codes/ACA_rect.m:30``): with
+    ``w == h == side`` the per-column width/height rescale collapses to one
+    common factor that cancels up to scale, leaving only the translation terms.
+
+    Args:
+      tar: (..., 4, 2) target points in :func:`rect_corners` order.
+      origin: (..., 2) square top-left (x0, y0).
+      side: (...,) square side length.
+
+    Returns:
+      (..., 3, 3) homography, unnormalized.
+    """
+    t00, t01, t02, t10, t11, t12, c, d, e = _target_mid(tar)
+    x0, y0 = origin[..., 0], origin[..., 1]
+    s = side
+
+    h02 = -(t00 * x0 + t01 * y0) + t02 * s
+    h12 = -(t10 * x0 + t11 * y0) + t12 * s
+    h22 = -(c * x0 + d * y0) + e * s
+    return jnp.stack(
+        [
+            jnp.stack([t00, t01, h02], axis=-1),
+            jnp.stack([t10, t11, h12], axis=-1),
+            jnp.stack([c, d, h22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def aca_square(tar: Array, origin: Array, side: Array) -> Array:
+    """Square-to-quad homography normalized to ``H[2,2] == 1``."""
+    hm = aca_square_h(tar, origin, side)
+    return hm / hm[..., 2:3, 2:3]
+
+
+def aca_qr_h(tar: Array) -> Array:
+    """Up-to-scale homography from the *unit square at the origin* to a quad.
+
+    The QR-code-detection case (``README.md:59``: 29 FLOPs): source corners
+    ``(0,0),(1,0),(0,1),(1,1)`` make the whole source-side factor the identity,
+    so the homography is the bare target factor ``H_A2^{-1} @ H_C`` — detector
+    corner order maps straight through :func:`rect_corners` order [M, N, P, Q].
+    Rescale QR module coordinates into this unit frame (or compose with an
+    axis scale) rather than calling the general rect solver.
+
+    Args:
+      tar: (..., 4, 2) detected corner positions.
+
+    Returns:
+      (..., 3, 3) homography, unnormalized.
+    """
+    t00, t01, t02, t10, t11, t12, c, d, e = _target_mid(tar)
+    return jnp.stack(
+        [
+            jnp.stack([t00, t01, t02], axis=-1),
+            jnp.stack([t10, t11, t12], axis=-1),
+            jnp.stack([c, d, e], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def aca_qr(tar: Array) -> Array:
+    """Unit-square-to-quad homography normalized to ``H[2,2] == 1``."""
+    hm = aca_qr_h(tar)
     return hm / hm[..., 2:3, 2:3]

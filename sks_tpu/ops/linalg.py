@@ -43,7 +43,9 @@ def jacobi_eigh(a: Array, sweeps: int = 8):
     """
     n = a.shape[-1]
     v = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
-    eps = jnp.asarray(jnp.finfo(a.dtype).tiny * 16, a.dtype)
+    # Smallest normal; added (un-squared: tiny**2 underflows to 0) under the
+    # hypot sqrt so an already-diagonal pair gives t = 0/sqrt(tiny), not 0/0.
+    tiny = jnp.asarray(jnp.finfo(a.dtype).tiny, a.dtype)
 
     def rotate(carry, pq):
         a_, v_ = carry
@@ -51,10 +53,18 @@ def jacobi_eigh(a: Array, sweeps: int = 8):
         app = a_[..., p, p]
         aqq = a_[..., q, q]
         apq = a_[..., p, q]
-        # Stable Jacobi rotation; t -> 0 as apq -> 0 (rotation becomes identity).
-        theta = (aqq - app) / (2 * jnp.where(jnp.abs(apq) < eps, eps, apq))
-        t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1))
-        t = jnp.where(jnp.abs(apq) < eps, jnp.zeros_like(t), t)
+        # Stable Jacobi rotation, written overflow-free so it is differentiable
+        # everywhere: the textbook t = sign(theta)/(|theta|+sqrt(theta^2+1))
+        # with theta = tau/apq divides by apq (overflows when apq ~ 0, and the
+        # overflow NaNs the backward pass even under a where-guard).  Multiply
+        # numerator and denominator by |apq| instead:
+        #   t = sign(tau) * apq / (|tau| + sqrt(tau^2 + apq^2)),
+        # which is |t| <= 1, exactly 0 at apq = 0 (identity rotation), and has
+        # finite gradients once the hypot is floored away from 0.
+        tau = (aqq - app) * 0.5
+        sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(a_.dtype)
+        hyp = jnp.sqrt(tau * tau + apq * apq + tiny)
+        t = sgn * apq / (sgn * tau + hyp)
         c = 1.0 / jnp.sqrt(t * t + 1)
         s = t * c
         c_, s_ = c[..., None], s[..., None]
@@ -101,7 +111,10 @@ def _smallest_eigvec_3x3(a: Array) -> Array:
     p2 = jnp.sum(b * b, axis=(-2, -1)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, jnp.finfo(dtype).tiny))
     detb = jnp.linalg.det(b / p[..., None, None])
-    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    # Clip strictly inside (-1, 1): arccos' gradient is infinite at the ends,
+    # which would NaN the backward pass for exactly-degenerate eigenvalues.
+    lim = 1.0 - 8 * jnp.finfo(dtype).eps
+    r = jnp.clip(detb / 2.0, -lim, lim)
     phi = jnp.arccos(r) / 3.0
     # Smallest eigenvalue of the three.
     lam = q + 2 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)

@@ -17,6 +17,7 @@ FLOPS = {
     "sks": {"solve": 157, "normalized": 169, "divisions": 5},
     "aca_rect": {"solve": 47, "normalized": 59, "divisions": 0},
     "aca_square": {"solve": 44, "normalized": 56, "divisions": 0},
+    "aca_qr": {"solve": 29, "normalized": 41, "divisions": 0},
     "rho_ge": {"solve": 221, "normalized": 221, "divisions": 10},
     "gpt_lu": {"solve": 1950, "normalized": 1950, "divisions": 8},
     # N-point solvers, counts at N=4 (reference formulas: DLT >=214N+26379,

@@ -125,6 +125,31 @@ def test_aca_rect(key, dtype):
     assert err < (0.05 if dtype == jnp.float32 else 1e-6)
 
 
+def test_aca_square_and_qr(key, dtype):
+    """Square / unit-square (QR) specializations agree with the general rect."""
+    from sks_tpu.ops import aca_qr, aca_square
+
+    origin, wh, tar = jit_of(
+        lambda k: rect_offset_pairs(k, (B,), dtype=dtype)
+    )(key)
+    side = wh[..., 0]
+    wh_sq = jnp.stack([side, side], axis=-1)
+    h_sq = jit_of(aca_square)(tar, origin, side)
+    h_ref = jit_of(aca_rect)(tar, origin, wh_sq)
+    assert h_close(h_sq, h_ref, TOL[dtype])
+    err = float(_max_reproj(h_sq, rect_corners(origin, wh_sq), tar))
+    assert err < (0.05 if dtype == jnp.float32 else 1e-6)
+
+    # QR case: unit square at the origin.
+    unit_o = jnp.zeros_like(origin)
+    unit_s = jnp.ones_like(wh)
+    h_qr = jit_of(aca_qr)(tar)
+    h_ref = jit_of(aca_rect)(tar, unit_o, unit_s)
+    assert h_close(h_qr, h_ref, TOL[dtype] * 10)
+    err = float(_max_reproj(h_qr, rect_corners(unit_o, unit_s), tar))
+    assert err < (0.05 if dtype == jnp.float32 else 1e-6)
+
+
 def test_degeneracy_masks(key, synth):
     src, tar, _ = synth(key, B, 4, 0.0, jnp.float64)
     jmask_a = jit_of(aca_valid_mask)
