@@ -17,6 +17,11 @@ from sks_tpu.ops.aca_rect import (  # noqa: F401
     aca_square_h,
     rect_corners,
 )
+from sks_tpu.ops.affine import (  # noqa: F401
+    affine_3pt,
+    affine_3pt_h,
+    affine_valid_mask,
+)
 from sks_tpu.ops.ndlt import ndlt, ndlt_h  # noqa: F401
 from sks_tpu.ops.ho import ho, ho_h  # noqa: F401
 from sks_tpu.ops.gpt import gpt_lu  # noqa: F401
