@@ -54,12 +54,34 @@ def sharded_gauss_newton_step(
     """One GN step with landmark-sharded Schur reduction.
 
     Numerically identical to ``slam.ba.gauss_newton_step`` (the psum is exact);
-    tested against it on the CPU mesh.
+    tested against it on the CPU mesh.  Damping is a traced operand so repeated
+    steps (and damping schedules) reuse one compilation.
     """
+    new_poses, new_points = _sharded_gn_step(
+        mesh, problem, jnp.asarray(damping, problem.poses.dtype), fix_first,
+        axis,
+    )
+    return BAProblem(
+        poses=new_poses,
+        points=new_points,
+        intrinsics=problem.intrinsics,
+        obs=problem.obs,
+        mask=problem.mask,
+    )
+
+
+@partial(jax.jit, static_argnames=("mesh", "fix_first", "axis"))
+def _sharded_gn_step(
+    mesh: Mesh,
+    problem: BAProblem,
+    damping,
+    fix_first: bool,
+    axis: str,
+):
     kk = problem.poses.shape[0]
     dtype = problem.poses.dtype
 
-    def local(poses, points, intrinsics, obs, mask):
+    def local(poses, points, intrinsics, obs, mask, damping):
         # Local shard: (L/n) landmarks. Build local blocks.
         lp = BAProblem(poses, points, intrinsics, obs, mask)
         b, e, c, v, w = build_normal_blocks(lp)
@@ -94,18 +116,11 @@ def sharded_gauss_newton_step(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(), P(None, axis), P(None, axis)),
+        in_specs=(P(), P(axis), P(), P(None, axis), P(None, axis), P()),
         out_specs=(P(), P(axis)),
         check_vma=False,
     )
-    new_poses, new_points = fn(
+    return fn(
         problem.poses, problem.points, problem.intrinsics, problem.obs,
-        problem.mask,
-    )
-    return BAProblem(
-        poses=new_poses,
-        points=new_points,
-        intrinsics=problem.intrinsics,
-        obs=problem.obs,
-        mask=problem.mask,
+        problem.mask, damping,
     )
