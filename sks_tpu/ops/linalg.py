@@ -130,7 +130,31 @@ def _smallest_eigvec_3x3(a: Array) -> Array:
     vec = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
     nrm = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1, keepdims=True),
                                jnp.finfo(dtype).tiny))
-    return vec / nrm
+    vec = vec / nrm
+
+    # One Rayleigh-shifted inverse-iteration step.  The trigonometric
+    # eigenvalue is only O(sqrt(eps))-accurate in the worst case, and the
+    # cross-product eigenvector inherits that error — observable as ~1e-8
+    # relative error at f64, which downstream denormalization (HO/NDLT)
+    # amplifies by ~1e5.  (A - rho I)^{-1} v ∝ adj(A - rho I) v needs no
+    # division and one step restores O(eps/gap) accuracy.
+    rho = jnp.einsum("...i,...ij,...j->...", vec, a, vec)
+    b = a - rho[..., None, None] * jnp.eye(3, dtype=dtype)
+    b00, b01, b02 = b[..., 0, 0], b[..., 0, 1], b[..., 0, 2]
+    b11, b12, b22 = b[..., 1, 1], b[..., 1, 2], b[..., 2, 2]
+    adj = jnp.stack([
+        jnp.stack([b11 * b22 - b12 * b12, b02 * b12 - b01 * b22,
+                   b01 * b12 - b02 * b11], axis=-1),
+        jnp.stack([b02 * b12 - b01 * b22, b00 * b22 - b02 * b02,
+                   b01 * b02 - b00 * b12], axis=-1),
+        jnp.stack([b01 * b12 - b02 * b11, b01 * b02 - b00 * b12,
+                   b00 * b11 - b01 * b01], axis=-1),
+    ], axis=-2)
+    w = jnp.einsum("...ij,...j->...i", adj, vec)
+    wn2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    ok = wn2 > jnp.finfo(dtype).tiny
+    w = w / jnp.sqrt(jnp.where(ok, wn2, 1.0))
+    return jnp.where(ok, w, vec)
 
 
 def smallest_eigvec_sym(a: Array, method: str = "auto") -> Array:
