@@ -26,7 +26,7 @@ __all__ = ["chained_step_seconds", "aca_pallas_chained", "aca_xla_chained"]
 
 
 @partial(jax.jit, static_argnames=("k", "tile"))
-def aca_pallas_chained(s, t, k: int, tile: int = 64):
+def aca_pallas_chained(s, t, k: int, tile: int = 128):
     """K chained Pallas ACA solves; returns a checksum scalar."""
     m = s.shape[1]
 

@@ -69,7 +69,7 @@ def aos_chained(src, tar, k, *, name: str):
 
 
 @partial(jax.jit, static_argnames=("kind", "tile"))
-def soa_chained(s, t, k, *, kind: str, tile: int = 64):
+def soa_chained(s, t, k, *, kind: str, tile: int = 128):
     """K chained Pallas solves (kind in {'aca', 'sks'}) on SoA (8, M, 128)."""
     solve = {"aca": aca_solve_soa, "sks": sks_solve_soa}[kind]
     m = s.shape[1]
@@ -81,27 +81,68 @@ def soa_chained(s, t, k, *, kind: str, tile: int = 64):
     return jnp.sum(out[8])
 
 
-def measure_chained(call, budget_s: float = 0.4, repeats: int = 3) -> float:
-    """Seconds per chained step from an adaptive two-point K fit.
+@partial(jax.jit, static_argnames=("kind",))
+def soa_xla_chained(s, t, k, *, kind: str):
+    """XLA-fused (non-Pallas) solves on the same SoA layout.
+
+    Isolates layout from kernel authorship: the AoS :func:`aos_chained` rows
+    pay strided component gathers; this pays none.  The remaining gap to the
+    Pallas rows is XLA's fusion/scheduling quality on the straight-line body.
+    """
+    from sks_tpu.ops.aca import aca_core
+    from sks_tpu.ops.sks import sks_core
+
+    core = {"aca": aca_core, "sks": sks_core}[kind]
+    m = s.shape[1]
+
+    def body(_, carry):
+        s0 = [s[i] for i in range(8)]
+        s0[0] = s0[0] + carry[8, 0, 0] * 1e-38
+        h = core(*s0, *[t[i] for i in range(8)])
+        return jnp.stack(h)
+
+    out = jax.lax.fori_loop(0, k, body, jnp.zeros((9, m, LANES), s.dtype))
+    return jnp.sum(out[8])
+
+
+def measure_chained(call, min_window_s: float = 0.25, repeats: int = 3,
+                    k_cap: int = 1_000_000) -> float:
+    """Seconds per chained step from a window-guaranteed two-point K fit.
 
     ``call(k)`` must run the chained loop K times and block until done.  K is
-    traced in the chained fns above, so both fit points reuse one executable.
+    traced in the chained fns above, so every probe reuses one executable.
+
+    The fixed per-dispatch overhead here (relay RTT) is ~30 ms — larger than
+    many whole loops — so K2 is escalated geometrically until the *differential*
+    time ``t(K2) - t(1)`` exceeds ``min_window_s``; timing jitter (~1 ms) is
+    then <1% of the fitted window.  A naive pilot-based sizing underestimates
+    K by the RTT/step ratio and produces unresolvable fits.
     """
-    call(2)  # compile + warm
-    t0 = time.perf_counter()
-    call(2)
-    step0 = max((time.perf_counter() - t0) / 2, 1e-7)
-    k2 = int(min(1000, max(4, budget_s / step0)))
+
+    def once(k):
+        t0 = time.perf_counter()
+        call(k)
+        return time.perf_counter() - t0
+
+    call(1)  # compile + warm
+    t_base = once(1)
+    if t_base >= min_window_s:
+        # One step is already a resolvable window.
+        t2 = once(2)
+        return max(t2 - t_base, 1e-9)
+
+    k2 = 4
+    t2 = once(k2)
+    while t2 - t_base < min_window_s and k2 < k_cap:
+        k2 *= 4
+        t2 = once(k2)
+
     k1 = max(1, k2 // 4)
-    if k1 == k2:
-        k2 = k1 + 2
 
     def best(k):
         b = float("inf")
         for _ in range(repeats):
-            t0 = time.perf_counter()
-            call(k)
-            b = min(b, time.perf_counter() - t0)
+            b = min(b, once(k))
         return b
 
     t1 = best(k1)
@@ -150,17 +191,41 @@ def run_table(full: bool = False, dtype=jnp.float32, seed: int = 0):
             src, tar = jax.jit(lambda k: random_quad_pairs(k, b, dtype))(key)
             s, t = jax.jit(to_soa)(src), jax.jit(to_soa)(tar)
             jax.block_until_ready((s, t))
-            fn = partial(soa_chained, kind=kind)
-            sec = measure_chained(lambda k: float(fn(s, t, k)))
-            rows.append({
-                "solver": kind, "impl": "pallas", "batch": b,
-                "dtype": str(jnp.dtype(dtype)),
-                "us_per_batch": sec * 1e6,
-                "h_per_s": b / sec,
-                "ref_us_per_batch_cuda_f64": ref_us(kind, b),
-            })
-            print(f"{kind:8} pallas B={b:>8}: {sec*1e6:10.2f} us/batch "
-                  f"({b/sec:.3e} H/s)", flush=True)
+            for impl, chained in (
+                ("pallas", soa_chained),
+                ("xla_soa", soa_xla_chained),
+            ):
+                fn = partial(chained, kind=kind)
+                sec = measure_chained(lambda k: float(fn(s, t, k)))
+                rows.append({
+                    "solver": kind, "impl": impl, "batch": b,
+                    "dtype": str(jnp.dtype(dtype)),
+                    "us_per_batch": sec * 1e6,
+                    "h_per_s": b / sec,
+                    "ref_us_per_batch_cuda_f64": ref_us(kind, b),
+                })
+                print(f"{kind:8} {impl:7} B={b:>8}: {sec*1e6:10.2f} us/batch "
+                      f"({b/sec:.3e} H/s)", flush=True)
+
+    # bf16-storage Pallas rows (BASELINE.json config 2 sanctions fp32/bf16):
+    # half the HBM traffic, f32 in-kernel compute — the TPU-native throughput
+    # configuration (accuracy limited by bf16 coordinate roundoff).
+    for b in (131_072, 1_048_576):
+        src, tar = jax.jit(lambda k: random_quad_pairs(k, b, jnp.float32))(key)
+        s = jax.jit(lambda x: to_soa(x).astype(jnp.bfloat16))(src)
+        t = jax.jit(lambda x: to_soa(x).astype(jnp.bfloat16))(tar)
+        jax.block_until_ready((s, t))
+        fn = partial(soa_chained, kind="aca")
+        sec = measure_chained(lambda k: float(fn(s, t, k)))
+        rows.append({
+            "solver": "aca", "impl": "pallas", "batch": b,
+            "dtype": "bfloat16",
+            "us_per_batch": sec * 1e6,
+            "h_per_s": b / sec,
+            "ref_us_per_batch_cuda_f64": ref_us("aca", b),
+        })
+        print(f"aca      pallas(bf16) B={b:>8}: {sec*1e6:10.2f} us/batch "
+              f"({b/sec:.3e} H/s)", flush=True)
     return rows
 
 

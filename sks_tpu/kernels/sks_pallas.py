@@ -22,23 +22,24 @@ __all__ = ["sks_solve_soa", "sks_h_pallas"]
 
 
 def _solve_kernel(chain_ref, src_ref, tar_ref, out_ref):
-    s = [src_ref[i] for i in range(8)]
-    t = [tar_ref[i] for i in range(8)]
+    # f32 compute regardless of storage dtype (see aca_pallas._solve_kernel).
+    s = [src_ref[i].astype(jnp.float32) for i in range(8)]
+    t = [tar_ref[i].astype(jnp.float32) for i in range(8)]
     s[0] = s[0] + chain_ref[0] * 1e-38
     h = sks_core(*s, *t)
     for i in range(9):
-        out_ref[i] = h[i]
+        out_ref[i] = h[i].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
 def sks_solve_soa(src: Array, tar: Array, chain: Array | None = None,
-                  tile: int = 64) -> Array:
+                  tile: int = 128) -> Array:
     """Batched SKS on SoA (8, M, 128) inputs -> (9, M, 128) homographies."""
     _, m, _ = src.shape
     tile = min(tile, m)
     assert m % tile == 0, (m, tile)
     if chain is None:
-        chain = jnp.zeros((), src.dtype)
+        chain = jnp.zeros((), jnp.float32)
     spec_in = pl.BlockSpec((8, tile, LANES), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((9, tile, LANES), lambda i: (0, i, 0),
@@ -54,7 +55,7 @@ def sks_solve_soa(src: Array, tar: Array, chain: Array | None = None,
             bytes_accessed=(16 + 9) * m * LANES * src.dtype.itemsize,
             transcendentals=0,
         ),
-    )(chain.reshape(1), src, tar)
+    )(chain.astype(jnp.float32).reshape(1), src, tar)
 
 
 def sks_h_pallas(src: Array, tar: Array) -> Array:

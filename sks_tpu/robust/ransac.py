@@ -31,6 +31,7 @@ __all__ = [
     "RansacConfig",
     "RansacResult",
     "ransac_homography",
+    "ransac_homography_fused",
     "sample_minimal_sets",
     "score_hypotheses",
 ]
@@ -214,4 +215,71 @@ def ransac_homography(
         inlier_mask=inl_best,
         num_inliers=jnp.sum(inl_best).astype(jnp.int32),
         score=score_best,
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def ransac_homography_fused(
+    key: Array,
+    src: Array,
+    tar: Array,
+    config: RansacConfig = RansacConfig(),
+) -> RansacResult:
+    """RANSAC with the Pallas fused ACA solve+score kernel on the hot path.
+
+    The production TPU configuration (SURVEY.md §7 layer 2): all B hypothesis
+    homographies are solved and scored *inside one VMEM-resident kernel*
+    (``sks_tpu.kernels.aca_pallas.aca_solve_score_soa``) — only the 4-byte
+    inlier count per hypothesis ever reaches HBM, cutting hypothesis-stage
+    traffic from ~100 to ~68 bytes/hypothesis.  Only the single winning
+    minimal set is re-solved on the host path, then IRLS-refined exactly like
+    :func:`ransac_homography`.
+
+    Constraints vs the general path: solver is ACA; scoring is inlier counts
+    over the symmetric transfer error; ``config.num_hypotheses`` must be a
+    multiple of 128 (SoA lane width); N <= ~2048 points (the correspondence
+    set lives in SMEM); no point mask (pad with far-away sentinel points
+    instead).  Falls back to pure-XLA scoring logic for everything after the
+    argmax, so results match :func:`ransac_homography` with solver='aca',
+    scoring='inliers' up to hypothesis-sampling RNG.
+    """
+    from sks_tpu.kernels.aca_pallas import aca_solve_score_soa, to_soa
+
+    n = src.shape[-2]
+    b = config.num_hypotheses
+    assert b % 128 == 0, "num_hypotheses must be a multiple of 128 (SoA lanes)"
+    idx = sample_minimal_sets(key, n, b)
+    s4 = jnp.take(src, idx, axis=0)
+    t4 = jnp.take(tar, idx, axis=0)
+
+    pts = jnp.concatenate([src.T, tar.T], axis=0)  # (4, N) rows x,y,x',y'
+    t2 = jnp.asarray(config.threshold * config.threshold, src.dtype)
+    counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2)
+    # SoA index (j, lane) is hypothesis j*128 + lane: reshape(-1) is id order.
+    best = jnp.argmax(counts.reshape(-1))
+
+    h_best = SOLVERS_H["aca"](s4[best], t4[best])
+    scores, inl = score_hypotheses(
+        h_best[None], src, tar, config.threshold, None, "inliers"
+    )
+    score0, inl_best = scores[0], inl[0]
+
+    if config.refine_iters > 0:
+        h_ref = _irls_refine(
+            h_best, src, tar, inl_best, config.refine_iters, config.threshold
+        )
+        sc, inl_ref = score_hypotheses(
+            h_ref[None], src, tar, config.threshold, None, "inliers"
+        )
+        better = sc[0] >= score0
+        h_best = jnp.where(better, h_ref, h_best)
+        inl_best = jnp.where(better, inl_ref[0], inl_best)
+        score0 = jnp.maximum(sc[0], score0)
+
+    h_best = h_best / h_best[2, 2]
+    return RansacResult(
+        h=h_best,
+        inlier_mask=inl_best,
+        num_inliers=jnp.sum(inl_best).astype(jnp.int32),
+        score=score0,
     )

@@ -36,8 +36,8 @@ def test_aos_chained_dynamic_k_single_compile(key):
 def test_measure_chained_returns_sane_step(key):
     src, tar = _pairs(key)
     fn = partial(aos_chained, name="aca")
-    sec = measure_chained(lambda k: float(fn(src, tar, k)), budget_s=0.05,
-                          repeats=2)
+    sec = measure_chained(lambda k: float(fn(src, tar, k)),
+                          min_window_s=0.05, repeats=2)
     assert 0.0 < sec < 1.0
 
 

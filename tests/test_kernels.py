@@ -86,6 +86,28 @@ def test_pallas_sks_matches_jnp(soa_inputs):
     assert np.allclose(np.asarray(h_p), np.asarray(h_j), atol=1e-4)
 
 
+def test_pallas_bf16_storage_f32_compute(soa_inputs):
+    """bf16 I/O must match f32 compute on bf16-quantized inputs.
+
+    The kernel upcasts to f32 internally, so with inputs that are exactly
+    bf16-representable the only difference vs the f32 path is the final
+    bf16 store roundoff.
+    """
+    _, _, s_soa, t_soa = soa_inputs
+    s16 = s_soa.astype(jnp.bfloat16)
+    t16 = t_soa.astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        h16 = aca_solve_soa(s16, t16, tile=1)
+        h32 = aca_solve_soa(s16.astype(jnp.float32),
+                            t16.astype(jnp.float32), tile=1)
+    assert h16.dtype == jnp.bfloat16
+    a = np.asarray(h16, np.float32)
+    b = np.asarray(h32)
+    # bf16 has 8 mantissa bits: store roundoff is ~0.4% relative.
+    scale = np.maximum(np.abs(b), 1e-3 * np.abs(b).max())
+    assert np.all(np.abs(a - b) <= 0.008 * scale), np.max(np.abs(a - b) / scale)
+
+
 def test_pallas_chain_dependency_is_noop(soa_inputs):
     _, _, s_soa, t_soa = soa_inputs
     with pltpu.force_tpu_interpret_mode():

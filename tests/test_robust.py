@@ -85,6 +85,26 @@ def test_sharded_matches_hypothesis_union(key):
     assert abs(best - float(res1.score)) < 1e-3, (best, float(res1.score))
 
 
+def test_ransac_fused_matches_general(key):
+    """Pallas fused path (interpret mode) == general path with the same key."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sks_tpu.robust.ransac import ransac_homography_fused
+
+    src, tar, h_true, true_inl = jit_of(lambda k: _contaminated(k, n=128))(key)
+    config = RansacConfig(num_hypotheses=256, threshold=4.0, solver="aca")
+    res = ransac_homography(key, src, tar, config)
+    with pltpu.force_tpu_interpret_mode():
+        res_f = ransac_homography_fused(key, src, tar, config)
+    # Same sampling RNG + same scoring metric -> same winning model.
+    assert np.allclose(
+        np.asarray(normalize_h(res.h, "fro")),
+        np.asarray(normalize_h(res_f.h, "fro")),
+        atol=1e-4,
+    )
+    assert int(res.num_inliers) == int(res_f.num_inliers)
+
+
 def test_ransac_jit_shapes(key):
     """Whole pipeline is one fixed-shape jit: no recompilation across keys."""
     src, tar, _, _ = jit_of(lambda k: _contaminated(k, n=64))(key)
