@@ -39,6 +39,7 @@ from sks_tpu.ops import (  # noqa: F401
     sks_factors,
     sks_kernel_chain,
 )
+from sks_tpu.robust.api import find_homography  # noqa: F401
 from sks_tpu.geom.homography import (  # noqa: F401
     apply_homography,
     reprojection_error,

@@ -35,6 +35,7 @@ def sharded_ransac_homography(
     tar: Array,
     config: RansacConfig = RansacConfig(),
     axis: str = "hyp",
+    fused: bool = False,
 ) -> RansacResult:
     """RANSAC with the hypothesis batch sharded across ``mesh[axis]``.
 
@@ -43,6 +44,12 @@ def sharded_ransac_homography(
     ``fold_in(key, device_index)``, so the set of hypotheses is a pure function
     of (key, mesh size).
 
+    ``fused=True`` runs the per-device solve+score through the Pallas fused
+    kernel (see :func:`sks_tpu.robust.ransac_homography_fused` for its
+    constraints: ACA, inlier scoring, local batch % 128 == 0, N in SMEM) —
+    the multi-chip production configuration: per-device hypotheses never
+    leave VMEM; only the consensus rides ICI.
+
     Returns a replicated RansacResult (identical on every device).
     """
     n_dev = mesh.shape[axis]
@@ -50,6 +57,10 @@ def sharded_ransac_homography(
     b_local = config.num_hypotheses // n_dev
     n = src.shape[-2]
     solver = SOLVERS_H[config.solver]
+    if fused:
+        assert config.solver == "aca" and config.scoring == "inliers", (
+            "fused path supports solver='aca', scoring='inliers'")
+        assert b_local % 128 == 0, (b_local,)
 
     def shard_fn(key, src, tar):
         dev = jax.lax.axis_index(axis)
@@ -57,17 +68,31 @@ def sharded_ransac_homography(
         idx = sample_minimal_sets(k, n, b_local)
         s4 = jnp.take(src, idx, axis=0)
         t4 = jnp.take(tar, idx, axis=0)
-        h = solver(s4, t4)
-        if config.solver in ("aca", "sks"):
-            valid = aca_valid_mask(s4, t4)
-            h = jnp.where(valid[..., None, None], h, jnp.nan)
-        scores, inl = score_hypotheses(
-            h, src, tar, config.threshold, None, config.scoring
-        )
-        best = jnp.argmax(scores)
-        best_score = scores[best]
-        best_h = h[best]
-        best_inl = inl[best]
+        if fused:
+            from sks_tpu.kernels.aca_pallas import aca_solve_score_soa, to_soa
+
+            pts = jnp.concatenate([src.T, tar.T], axis=0)
+            t2 = jnp.asarray(config.threshold**2, src.dtype)
+            counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2)
+            best = jnp.argmax(counts.reshape(-1))
+            best_h = solver(s4[best], t4[best])
+            scores1, inl1 = score_hypotheses(
+                best_h[None], src, tar, config.threshold, None, "inliers"
+            )
+            best_score = scores1[0]
+            best_inl = inl1[0]
+        else:
+            h = solver(s4, t4)
+            if config.solver in ("aca", "sks"):
+                valid = aca_valid_mask(s4, t4)
+                h = jnp.where(valid[..., None, None], h, jnp.nan)
+            scores, inl = score_hypotheses(
+                h, src, tar, config.threshold, None, config.scoring
+            )
+            best = jnp.argmax(scores)
+            best_score = scores[best]
+            best_h = h[best]
+            best_inl = inl[best]
 
         gmax = jax.lax.pmax(best_score, axis)
         mine = best_score >= gmax

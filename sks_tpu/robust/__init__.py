@@ -1,5 +1,6 @@
 """Robust estimation: fixed-shape vectorized RANSAC / MAGSAC over batched solvers."""
 
+from sks_tpu.robust.api import find_homography  # noqa: F401
 from sks_tpu.robust.ransac import (  # noqa: F401
     RansacConfig,
     RansacResult,

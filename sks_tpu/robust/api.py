@@ -1,0 +1,80 @@
+"""cv2-style convenience API over the vectorized RANSAC stack.
+
+Migration surface for users of ``cv2.findHomography`` /
+``getPerspectiveTransform`` (which the reference's baselines are adapted
+from): same call shape, same ``(H, mask)`` return, JAX arrays in and out, one
+fixed-shape jit under the hood.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from sks_tpu.robust.ransac import (
+    RansacConfig,
+    ransac_homography,
+    ransac_homography_fused,
+)
+
+__all__ = ["find_homography"]
+
+_METHODS = ("ransac", "msac", "magsac", "fused")
+
+
+def find_homography(
+    src: Array,
+    tar: Array,
+    method: str = "ransac",
+    ransac_reproj_threshold: float = 3.0,
+    max_iters: int = 2048,
+    solver: str = "aca",
+    key: Array | None = None,
+    refine_iters: int = 2,
+):
+    """Robustly fit H mapping src -> tar (the ``cv2.findHomography`` shape).
+
+    Args:
+      src, tar: (N, 2) matched points, N >= 4.
+      method: 'ransac' (inlier counting), 'msac', 'magsac' (sigma-marginalized
+        scoring), or 'fused' (Pallas fused solve+score hot path, TPU).
+      ransac_reproj_threshold: inlier threshold in pixels (symmetric
+        transfer error, like cv2's default semantic).
+      max_iters: hypothesis budget (all evaluated at once, fixed shape —
+        there is no early exit to tune; rounded up to a multiple of 128 for
+        'fused').
+      solver: minimal solver for hypotheses ('aca', 'sks', 'rho_ge', ...).
+      key: PRNG key (default: PRNGKey(0) — deterministic).
+      refine_iters: IRLS local-optimization rounds on the consensus set.
+
+    Returns:
+      (H (3, 3) jnp array normalized to H[2,2]=1, mask (N,) bool inliers).
+    """
+    if method not in _METHODS:
+        raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    src = jnp.asarray(src)
+    tar = jnp.asarray(tar)
+
+    if method == "fused":
+        b = -(-max_iters // 128) * 128
+        config = RansacConfig(
+            num_hypotheses=b,
+            threshold=ransac_reproj_threshold,
+            solver="aca",
+            refine_iters=refine_iters,
+            scoring="inliers",
+        )
+        res = ransac_homography_fused(key, src, tar, config)
+    else:
+        config = RansacConfig(
+            num_hypotheses=max_iters,
+            threshold=ransac_reproj_threshold,
+            solver=solver,
+            refine_iters=refine_iters,
+            scoring={"ransac": "inliers"}.get(method, method),
+        )
+        res = ransac_homography(key, src, tar, config)
+    return res.h, res.inlier_mask

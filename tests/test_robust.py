@@ -105,6 +105,47 @@ def test_ransac_fused_matches_general(key):
     assert int(res.num_inliers) == int(res_f.num_inliers)
 
 
+def test_sharded_fused_matches_sharded(key):
+    """Fused sharded path (interpret mode) == general sharded path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    src, tar, _, _ = jit_of(lambda k: _contaminated(k, n=128))(key)
+    mesh = make_mesh({"hyp": 8})
+    config = RansacConfig(num_hypotheses=1024, threshold=4.0, refine_iters=0)
+    res = jax.jit(
+        lambda k, s, t: sharded_ransac_homography(mesh, k, s, t, config)
+    )(key, src, tar)
+    with pltpu.force_tpu_interpret_mode():
+        res_f = jax.jit(
+            lambda k, s, t: sharded_ransac_homography(
+                mesh, k, s, t, config, fused=True
+            )
+        )(key, src, tar)
+    # Same per-device RNG streams + same scoring -> same winner.
+    assert np.allclose(
+        np.asarray(normalize_h(res.h, "fro")),
+        np.asarray(normalize_h(res_f.h, "fro")),
+        atol=1e-4,
+    )
+    assert int(res.num_inliers) == int(res_f.num_inliers)
+
+
+def test_find_homography_api(key):
+    """cv2-shaped convenience wrapper returns (H, mask) and rejects junk."""
+    import sks_tpu
+
+    src, tar, h_true, true_inl = jit_of(lambda k: _contaminated(k))(key)
+    for method in ("ransac", "msac", "magsac"):
+        h, mask = sks_tpu.find_homography(src, tar, method=method, key=key)
+        assert h.shape == (3, 3) and float(h[2, 2]) == 1.0
+        agree = jnp.mean((mask == true_inl).astype(jnp.float32))
+        assert float(agree) > 0.95, (method, float(agree))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sks_tpu.find_homography(src, tar, method="prosac")
+
+
 def test_ransac_jit_shapes(key):
     """Whole pipeline is one fixed-shape jit: no recompilation across keys."""
     src, tar, _, _ = jit_of(lambda k: _contaminated(k, n=64))(key)
