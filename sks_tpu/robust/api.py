@@ -15,6 +15,7 @@ from jax import Array
 from sks_tpu.robust.ransac import (
     RansacConfig,
     ransac_homography,
+    ransac_homography_adaptive,
     ransac_homography_fused,
 )
 
@@ -32,6 +33,7 @@ def find_homography(
     solver: str = "aca",
     key: Array | None = None,
     refine_iters: int = 2,
+    confidence: float | None = None,
 ):
     """Robustly fit H mapping src -> tar (the ``cv2.findHomography`` shape).
 
@@ -41,12 +43,17 @@ def find_homography(
         scoring), or 'fused' (Pallas fused solve+score hot path, TPU).
       ransac_reproj_threshold: inlier threshold in pixels (symmetric
         transfer error, like cv2's default semantic).
-      max_iters: hypothesis budget (all evaluated at once, fixed shape —
-        there is no early exit to tune; rounded up to a multiple of 128 for
-        'fused').
+      max_iters: hypothesis budget.  Without ``confidence`` all hypotheses
+        are evaluated at once (fixed shape, no early exit to tune; rounded up
+        to a multiple of 128 for 'fused').  With ``confidence`` it is the
+        worst-case cap of the early-exit loop.
       solver: minimal solver for hypotheses ('aca', 'sks', 'rho_ge', ...).
       key: PRNG key (default: PRNGKey(0) — deterministic).
       refine_iters: IRLS local-optimization rounds on the consensus set.
+      confidence: if set (e.g. 0.995, the cv2 default semantic), run the
+        early-exit loop (:func:`ransac_homography_adaptive`): chunks of 256
+        hypotheses until the termination bound is met or ``max_iters`` total.
+        Not supported with method='fused'.
 
     Returns:
       (H (3, 3) jnp array normalized to H[2,2]=1, mask (N,) bool inliers).
@@ -58,6 +65,9 @@ def find_homography(
     src = jnp.asarray(src)
     tar = jnp.asarray(tar)
 
+    if method == "fused" and confidence is not None:
+        raise ValueError("confidence-based early exit is not supported with "
+                         "method='fused' (fixed-batch Pallas path)")
     if method == "fused":
         b = -(-max_iters // 128) * 128
         config = RansacConfig(
@@ -68,6 +78,19 @@ def find_homography(
             scoring="inliers",
         )
         res = ransac_homography_fused(key, src, tar, config)
+    elif confidence is not None:
+        chunk = min(256, max_iters)
+        config = RansacConfig(
+            num_hypotheses=chunk,
+            threshold=ransac_reproj_threshold,
+            solver=solver,
+            refine_iters=refine_iters,
+            scoring={"ransac": "inliers"}.get(method, method),
+        )
+        res = ransac_homography_adaptive(
+            key, src, tar, config,
+            confidence=confidence, max_chunks=-(-max_iters // chunk),
+        )
     else:
         config = RansacConfig(
             num_hypotheses=max_iters,

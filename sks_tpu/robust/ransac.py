@@ -31,6 +31,7 @@ __all__ = [
     "RansacConfig",
     "RansacResult",
     "ransac_homography",
+    "ransac_homography_adaptive",
     "ransac_homography_fused",
     "sample_minimal_sets",
     "score_hypotheses",
@@ -154,6 +155,46 @@ def _irls_refine(h0: Array, src: Array, tar: Array, inl: Array, iters: int,
     return jax.lax.fori_loop(0, iters, body, h)
 
 
+def _eval_chunk(key, src, tar, config, point_mask):
+    """Sample + solve + score one fixed-shape batch; return its champion."""
+    n = src.shape[-2]
+    solver = SOLVERS_H[config.solver]
+    idx = sample_minimal_sets(key, n, config.num_hypotheses)
+    s4 = jnp.take(src, idx, axis=0)  # (B, 4, 2)
+    t4 = jnp.take(tar, idx, axis=0)
+    h = solver(s4, t4)  # (B, 3, 3), up to scale
+    if config.solver in ("aca", "sks"):
+        valid = aca_valid_mask(s4, t4)
+        h = jnp.where(valid[..., None, None], h, jnp.nan)
+    scores, inl = score_hypotheses(
+        h, src, tar, config.threshold, point_mask, config.scoring
+    )
+    best = jnp.argmax(scores)
+    return h[best], scores[best], inl[best]
+
+
+def _refine_and_pack(h_best, score0, inl_best, src, tar, config, point_mask):
+    """Shared tail: IRLS local optimization, keep-if-better, normalize."""
+    if config.refine_iters > 0:
+        h_ref = _irls_refine(
+            h_best, src, tar, inl_best, config.refine_iters, config.threshold
+        )
+        sc, inl_ref = score_hypotheses(
+            h_ref[None], src, tar, config.threshold, point_mask, config.scoring
+        )
+        better = sc[0] >= score0
+        h_best = jnp.where(better, h_ref, h_best)
+        inl_best = jnp.where(better, inl_ref[0], inl_best)
+        score0 = jnp.maximum(sc[0], score0)
+    h_best = h_best / h_best[2, 2]
+    return RansacResult(
+        h=h_best,
+        inlier_mask=inl_best,
+        num_inliers=jnp.sum(inl_best).astype(jnp.int32),
+        score=score0,
+    )
+
+
 @partial(jax.jit, static_argnames=("config",))
 def ransac_homography(
     key: Array,
@@ -176,45 +217,84 @@ def ransac_homography(
     Returns:
       RansacResult with the best model (normalized), its inliers and score.
     """
-    n = src.shape[-2]
-    solver = SOLVERS_H[config.solver]
-    idx = sample_minimal_sets(key, n, config.num_hypotheses)
-    s4 = jnp.take(src, idx, axis=0)  # (B, 4, 2)
-    t4 = jnp.take(tar, idx, axis=0)
-    h = solver(s4, t4)  # (B, 3, 3), up to scale
-
-    # Mask hypotheses built from degenerate/duplicate samples.
-    if config.solver in ("aca", "sks"):
-        valid = aca_valid_mask(s4, t4)
-        h = jnp.where(valid[..., None, None], h, jnp.nan)
-
-    scores, inl = score_hypotheses(
-        h, src, tar, config.threshold, point_mask, config.scoring
+    h_best, score_best, inl_best = _eval_chunk(key, src, tar, config, point_mask)
+    return _refine_and_pack(
+        h_best, score_best, inl_best, src, tar, config, point_mask
     )
-    best = jnp.argmax(scores)
-    h_best = h[best]
-    inl_best = inl[best]
 
-    if config.refine_iters > 0:
-        h_best = _irls_refine(
-            h_best, src, tar, inl_best, config.refine_iters, config.threshold
-        )
-        sc, inl_ref = score_hypotheses(
-            h_best[None], src, tar, config.threshold, point_mask, config.scoring
-        )
-        better = sc[0] >= scores[best]
-        h_best = jnp.where(better, h_best, h[best])
-        inl_best = jnp.where(better, inl_ref[0], inl_best)
-        score_best = jnp.maximum(sc[0], scores[best])
-    else:
-        score_best = scores[best]
 
-    h_best = h_best / h_best[2, 2]
-    return RansacResult(
-        h=h_best,
-        inlier_mask=inl_best,
-        num_inliers=jnp.sum(inl_best).astype(jnp.int32),
-        score=score_best,
+@partial(jax.jit, static_argnames=("config", "max_chunks"))
+def ransac_homography_adaptive(
+    key: Array,
+    src: Array,
+    tar: Array,
+    config: RansacConfig = RansacConfig(),
+    confidence: float = 0.99,
+    max_chunks: int = 16,
+    point_mask: Array | None = None,
+) -> RansacResult:
+    """RANSAC with confidence-based early exit (cv2 ``confidence`` semantic).
+
+    The fixed-batch :func:`ransac_homography` sizes its budget for the
+    worst-case outlier ratio; on easy problems most of that work is wasted.
+    This variant evaluates hypotheses in fixed-shape chunks of
+    ``config.num_hypotheses`` inside a ``lax.while_loop`` and stops once the
+    standard RANSAC termination bound says the hypotheses drawn so far find an
+    all-inlier sample with probability >= ``confidence``:
+
+        k_needed = log(1 - confidence) / log(1 - w^4),   w = inlier ratio,
+
+    capped at ``max_chunks`` chunks (the fixed worst-case budget).  Everything
+    stays static-shape — the data-dependent part is only the trip count, which
+    XLA supports natively on TPU (SURVEY.md §7 hard part (d)).
+
+    ``confidence`` is traced (changing it does not recompile); ``max_chunks``
+    and ``config`` are static.
+    """
+    nf = (
+        jnp.sum(point_mask).astype(src.dtype)
+        if point_mask is not None
+        else jnp.asarray(src.shape[-2], src.dtype)
+    )
+    chunk = config.num_hypotheses
+    conf = jnp.clip(jnp.asarray(confidence, src.dtype), 0.0, 1.0 - 1e-7)
+
+    def needed(num_inl):
+        w = num_inl / jnp.maximum(nf, 1.0)
+        p_good = jnp.clip(w**4, 1e-12, 1.0 - 1e-7)
+        return jnp.log1p(-conf) / jnp.log1p(-p_good)
+
+    def cond(state):
+        i, _, _, _, _, ninl = state
+        return (i < max_chunks) & (
+            jnp.asarray(i * chunk, src.dtype) < needed(ninl)
+        )
+
+    def body(state):
+        i, k, h, sc, inl, ninl = state
+        k, sub = jax.random.split(k)
+        h_c, sc_c, inl_c = _eval_chunk(sub, src, tar, config, point_mask)
+        better = sc_c > sc
+        h = jnp.where(better, h_c, h)
+        inl = jnp.where(better, inl_c, inl)
+        ninl = jnp.where(
+            better, jnp.sum(inl_c).astype(src.dtype), ninl
+        )
+        return (i + 1, k, h, jnp.maximum(sc_c, sc), inl, ninl)
+
+    n = src.shape[-2]
+    init = (
+        jnp.asarray(0, jnp.int32),
+        key,
+        jnp.full((3, 3), jnp.nan, src.dtype),
+        jnp.asarray(-jnp.inf, src.dtype),
+        jnp.zeros((n,), bool),
+        jnp.asarray(0.0, src.dtype),
+    )
+    _, _, h_best, score_best, inl_best, _ = jax.lax.while_loop(cond, body, init)
+    h_best = jnp.where(jnp.isfinite(h_best), h_best, jnp.eye(3, dtype=src.dtype))
+    return _refine_and_pack(
+        h_best, score_best, inl_best, src, tar, config, point_mask
     )
 
 

@@ -154,3 +154,66 @@ def test_ransac_jit_shapes(key):
     r1 = f(jax.random.PRNGKey(1))
     r2 = f(jax.random.PRNGKey(2))
     assert r1.h.shape == r2.h.shape == (3, 3)
+
+
+def test_ransac_adaptive_early_exit(key):
+    """Adaptive RANSAC matches the fixed-batch fit and actually exits early."""
+    from sks_tpu.robust import ransac_homography_adaptive
+
+    src, tar, h_true, true_inl = jit_of(lambda k: _contaminated(k))(key)
+    config = RansacConfig(num_hypotheses=256, threshold=4.0)
+    res = ransac_homography_adaptive(
+        key, src, tar, config, confidence=0.999, max_chunks=64
+    )
+    err = apply_homography(res.h, src) - tar
+    err = jnp.sqrt(jnp.sum(err * err, axis=-1))
+    inlier_err = jnp.where(true_inl, err, 0.0).sum() / true_inl.sum()
+    assert float(inlier_err) < 2.0, float(inlier_err)
+    agree = jnp.mean((res.inlier_mask == true_inl).astype(jnp.float32))
+    assert float(agree) > 0.95, float(agree)
+
+    # Termination bound sanity: with w ~= 0.5 inliers, p_good = w^4 ~= 1/16,
+    # k_needed(0.999) ~= 107 << 256 -> the loop must stop after one chunk of
+    # 256.  Verify by checking a 1-chunk cap gives the identical result
+    # (same key stream => same champion).
+    res1 = ransac_homography_adaptive(
+        key, src, tar, config, confidence=0.999, max_chunks=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.h), np.asarray(res1.h), rtol=0, atol=0
+    )
+
+
+def test_ransac_adaptive_confidence_traced(key):
+    """confidence is traced: changing it must not recompile or change shapes."""
+    from sks_tpu.robust import ransac_homography_adaptive
+
+    src, tar, _, _ = jit_of(lambda k: _contaminated(k, n=64))(key)
+    config = RansacConfig(num_hypotheses=128, threshold=4.0)
+    f = jax.jit(
+        lambda k, c: ransac_homography_adaptive(k, src, tar, config, c, 8),
+        static_argnames=(),
+    )
+    r1 = f(key, 0.9)
+    r2 = f(key, 0.9999)
+    assert r1.h.shape == r2.h.shape == (3, 3)
+    # Higher confidence can only draw at least as many chunks; both must be
+    # valid fits.
+    assert int(r1.num_inliers) >= 4 and int(r2.num_inliers) >= 4
+
+
+def test_find_homography_confidence(key):
+    """find_homography(confidence=...) routes to the early-exit loop."""
+    import sks_tpu
+
+    src, tar, h_true, true_inl = jit_of(lambda k: _contaminated(k))(key)
+    h, mask = sks_tpu.find_homography(
+        src, tar, method="ransac", key=key, confidence=0.995, max_iters=4096
+    )
+    assert h.shape == (3, 3) and float(h[2, 2]) == 1.0
+    agree = jnp.mean((mask == true_inl).astype(jnp.float32))
+    assert float(agree) > 0.95, float(agree)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sks_tpu.find_homography(src, tar, method="fused", confidence=0.99)
