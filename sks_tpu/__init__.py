@@ -39,7 +39,11 @@ from sks_tpu.ops import (  # noqa: F401
     sks_factors,
     sks_kernel_chain,
 )
-from sks_tpu.robust.api import find_homography  # noqa: F401
+from sks_tpu.robust.api import (  # noqa: F401
+    find_homography,
+    get_affine_transform,
+    get_perspective_transform,
+)
 from sks_tpu.geom.homography import (  # noqa: F401
     apply_homography,
     reprojection_error,

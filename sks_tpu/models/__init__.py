@@ -16,3 +16,10 @@ from sks_tpu.models.deep_homography import (  # noqa: F401
     train_step,
 )
 from sks_tpu.models.heads import HEAD_METHODS, offsets_to_h  # noqa: F401
+from sks_tpu.models.iterative import (  # noqa: F401
+    IterativeHomographyNet,
+    create_ihn_state,
+    ihn_train_step,
+    sequence_loss,
+    warp_by_homography,
+)

@@ -1,6 +1,10 @@
 """Robust estimation: fixed-shape vectorized RANSAC / MAGSAC over batched solvers."""
 
-from sks_tpu.robust.api import find_homography  # noqa: F401
+from sks_tpu.robust.api import (  # noqa: F401
+    find_homography,
+    get_affine_transform,
+    get_perspective_transform,
+)
 from sks_tpu.robust.ransac import (  # noqa: F401
     RansacConfig,
     RansacResult,
@@ -8,5 +12,6 @@ from sks_tpu.robust.ransac import (  # noqa: F401
     ransac_homography_adaptive,
     ransac_homography_fused,
     sample_minimal_sets,
+    sample_minimal_sets_prosac,
     score_hypotheses,
 )

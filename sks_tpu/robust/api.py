@@ -19,9 +19,13 @@ from sks_tpu.robust.ransac import (
     ransac_homography_fused,
 )
 
-__all__ = ["find_homography"]
+__all__ = [
+    "find_homography",
+    "get_perspective_transform",
+    "get_affine_transform",
+]
 
-_METHODS = ("ransac", "msac", "magsac", "fused")
+_METHODS = ("ransac", "msac", "magsac", "lmeds", "fused")
 
 
 def find_homography(
@@ -34,13 +38,15 @@ def find_homography(
     key: Array | None = None,
     refine_iters: int = 2,
     confidence: float | None = None,
+    sampling: str = "uniform",
 ):
     """Robustly fit H mapping src -> tar (the ``cv2.findHomography`` shape).
 
     Args:
       src, tar: (N, 2) matched points, N >= 4.
       method: 'ransac' (inlier counting), 'msac', 'magsac' (sigma-marginalized
-        scoring), or 'fused' (Pallas fused solve+score hot path, TPU).
+        scoring), 'lmeds' (threshold-free least-median), or 'fused' (Pallas
+        fused solve+score hot path, TPU).
       ransac_reproj_threshold: inlier threshold in pixels (symmetric
         transfer error, like cv2's default semantic).
       max_iters: hypothesis budget.  Without ``confidence`` all hypotheses
@@ -54,6 +60,9 @@ def find_homography(
         early-exit loop (:func:`ransac_homography_adaptive`): chunks of 256
         hypotheses until the termination bound is met or ``max_iters`` total.
         Not supported with method='fused'.
+      sampling: 'uniform', or 'prosac' progressive sampling (src/tar must be
+        sorted by descending match quality). Not supported with
+        method='fused'.
 
     Returns:
       (H (3, 3) jnp array normalized to H[2,2]=1, mask (N,) bool inliers).
@@ -68,6 +77,8 @@ def find_homography(
     if method == "fused" and confidence is not None:
         raise ValueError("confidence-based early exit is not supported with "
                          "method='fused' (fixed-batch Pallas path)")
+    if method == "fused" and sampling != "uniform":
+        raise ValueError("method='fused' supports only uniform sampling")
     if method == "fused":
         b = -(-max_iters // 128) * 128
         config = RansacConfig(
@@ -86,6 +97,7 @@ def find_homography(
             solver=solver,
             refine_iters=refine_iters,
             scoring={"ransac": "inliers"}.get(method, method),
+            sampling=sampling,
         )
         res = ransac_homography_adaptive(
             key, src, tar, config,
@@ -98,6 +110,38 @@ def find_homography(
             solver=solver,
             refine_iters=refine_iters,
             scoring={"ransac": "inliers"}.get(method, method),
+            sampling=sampling,
         )
         res = ransac_homography(key, src, tar, config)
     return res.h, res.inlier_mask
+
+
+def get_perspective_transform(src: Array, tar: Array, solver: str = "aca") -> Array:
+    """Exact 4-point homography (the ``cv2.getPerspectiveTransform`` shape).
+
+    The reference's GPT-LU baseline is OpenCV's implementation of exactly this
+    call (``C++ Codes/modules/GPT.cpp:51-72``, ~1932 flops); here the default
+    solver is the 97-flop ACA decomposition (identical result for exact
+    4-point input, batched over leading dims).
+
+    Args:
+      src, tar: (..., 4, 2) quads.
+      solver: any name in ``sks_tpu.ops.SOLVERS`` ('aca', 'sks', 'gpt_lu', ...).
+
+    Returns:
+      (..., 3, 3) H with H[..., 2, 2] = 1 mapping src onto tar.
+    """
+    from sks_tpu.ops import SOLVERS
+
+    return SOLVERS[solver](jnp.asarray(src), jnp.asarray(tar))
+
+
+def get_affine_transform(src: Array, tar: Array) -> Array:
+    """Exact 3-point affine transform (the ``cv2.getAffineTransform`` shape).
+
+    Division-free analogue (see ``sks_tpu.ops.affine``): (..., 3, 2) x2 ->
+    (..., 2, 3) affine matrix rows [A | t] with tar = A @ src + t.
+    """
+    from sks_tpu.ops.affine import affine_3pt
+
+    return affine_3pt(jnp.asarray(src), jnp.asarray(tar))[..., :2, :]

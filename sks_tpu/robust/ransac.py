@@ -34,6 +34,8 @@ __all__ = [
     "ransac_homography_adaptive",
     "ransac_homography_fused",
     "sample_minimal_sets",
+    "sample_minimal_sets_prosac",
+    "prosac_prefix_sizes",
     "score_hypotheses",
 ]
 
@@ -46,7 +48,8 @@ class RansacConfig:
     threshold: float = 3.0  # pixels, symmetric transfer
     solver: str = "aca"
     refine_iters: int = 2  # IRLS refinement rounds on the winning consensus
-    scoring: str = "inliers"  # 'inliers' (RANSAC) | 'msac' | 'magsac'
+    scoring: str = "inliers"  # 'inliers' (RANSAC) | 'msac' | 'magsac' | 'lmeds'
+    sampling: str = "uniform"  # 'uniform' | 'prosac' (points sorted by quality)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -73,6 +76,59 @@ def sample_minimal_sets(key: Array, num_points: Array | int, batch: int) -> Arra
     ``% size`` resampling, ``GPU_Runtime Test.cu:71-76``).
     """
     return jax.random.randint(key, (batch, 4), 0, num_points, dtype=jnp.int32)
+
+
+def prosac_prefix_sizes(num_points: int, batch: int, m: int = 4):
+    """PROSAC growth schedule: prefix size n_t for each hypothesis t.
+
+    The Chum & Matas (2005) growth function — how many top-quality
+    correspondences hypothesis t may draw from — computed with the standard
+    recurrence T'_{n+1} = T'_n + ceil(T_{n+1} - T_n),
+    T_{n+1} = T_n (n+1)/(n+1-m).  Data-independent (depends only on
+    ``num_points`` and ``batch``), so it is evaluated at trace time and baked
+    into the compiled program as a constant: progressive sampling costs
+    nothing on device.
+
+    Returns an int32 numpy array (batch,) with m <= n_t <= num_points,
+    non-decreasing.
+    """
+    import math
+
+    import numpy as np
+
+    n_pts = int(num_points)
+    t_n = float(batch)
+    for i in range(m):
+        t_n *= (m - i) / (n_pts - i)  # T_m
+    sizes = np.empty(batch, np.int32)
+    n = m
+    t_prime = 1.0
+    for t in range(batch):
+        if t + 1 > t_prime and n < n_pts:
+            t_next = t_n * (n + 1) / (n + 1 - m)
+            t_prime += math.ceil(t_next - t_n)
+            t_n = t_next
+            n += 1
+        sizes[t] = n
+    return sizes
+
+
+def sample_minimal_sets_prosac(
+    key: Array, num_points: int, batch: int
+) -> Array:
+    """(B, 4) progressive index tuples (PROSAC; Chum & Matas 2005).
+
+    Assumes correspondences are sorted by descending match quality (e.g. the
+    scores from ``sks_tpu.features.matching``).  Hypothesis t draws point
+    n_t - 1 (the newest admitted) plus 3 uniform picks from the first
+    n_t - 1 — early hypotheses concentrate on the best matches, late ones
+    approach uniform RANSAC.  Collisions are allowed, as in
+    :func:`sample_minimal_sets`.
+    """
+    sizes = jnp.asarray(prosac_prefix_sizes(num_points, batch))  # (B,)
+    u = jax.random.uniform(key, (batch, 3))
+    head = jnp.floor(u * (sizes[:, None] - 1).astype(u.dtype)).astype(jnp.int32)
+    return jnp.concatenate([head, sizes[:, None] - 1], axis=-1)
 
 
 def _residual2(h: Array, src: Array, tar: Array) -> Array:
@@ -103,7 +159,9 @@ def score_hypotheses(
       threshold: inlier threshold in pixels (symmetric transfer).
       point_mask: optional (N,) validity for padded point sets.
       scoring: 'inliers' counts; 'msac' sums truncated quadratic gains;
-        'magsac' a fixed-sigma-ensemble soft score (MAGSAC++-style weighting).
+        'magsac' a fixed-sigma-ensemble soft score (MAGSAC++-style weighting);
+        'lmeds' negated median squared residual (threshold-free, cv2.LMEDS —
+        inliers from the 2.5-robust-sigma rule on the median).
 
     Returns:
       (scores (B,), inlier_mask (B, N)) — degenerate/non-finite hypotheses get
@@ -131,9 +189,26 @@ def score_hypotheses(
         if point_mask is not None:
             g = jnp.where(point_mask[..., None], g, 0.0)
         score = jnp.mean(jnp.sum(g, axis=-2), axis=-1)
+    elif scoring == "lmeds":
+        # Least-median-of-squares (cv2.LMEDS): threshold-free model score;
+        # inliers from the standard robust-sigma rule on the median residual.
+        r2m = (
+            jnp.where(point_mask, r2, jnp.nan) if point_mask is not None else r2
+        )
+        med = jnp.nanmedian(jnp.where(jnp.isfinite(r2m), r2m, jnp.nan), axis=-1)
+        med = jnp.where(jnp.isfinite(med), med, jnp.inf)
+        score = -med
+        nf = (
+            jnp.sum(point_mask) if point_mask is not None else r2.shape[-1]
+        )
+        sigma = 2.5 * 1.4826 * (1.0 + 5.0 / jnp.maximum(nf - 4.0, 1.0)) * jnp.sqrt(med)
+        inl = r2 < (sigma * sigma)[..., None]
+        if point_mask is not None:
+            inl = inl & point_mask
     else:
         raise ValueError(f"unknown scoring {scoring!r}")
-    score = jnp.where(finite, score, -1.0)
+    worst = -jnp.inf if scoring == "lmeds" else -1.0
+    score = jnp.where(finite, score, worst)
     inl = inl & finite[..., None]
     return score, inl
 
@@ -159,7 +234,12 @@ def _eval_chunk(key, src, tar, config, point_mask):
     """Sample + solve + score one fixed-shape batch; return its champion."""
     n = src.shape[-2]
     solver = SOLVERS_H[config.solver]
-    idx = sample_minimal_sets(key, n, config.num_hypotheses)
+    if config.sampling == "prosac":
+        idx = sample_minimal_sets_prosac(key, n, config.num_hypotheses)
+    elif config.sampling == "uniform":
+        idx = sample_minimal_sets(key, n, config.num_hypotheses)
+    else:
+        raise ValueError(f"unknown sampling {config.sampling!r}")
     s4 = jnp.take(src, idx, axis=0)  # (B, 4, 2)
     t4 = jnp.take(tar, idx, axis=0)
     h = solver(s4, t4)  # (B, 3, 3), up to scale
@@ -182,7 +262,14 @@ def _refine_and_pack(h_best, score0, inl_best, src, tar, config, point_mask):
         sc, inl_ref = score_hypotheses(
             h_ref[None], src, tar, config.threshold, point_mask, config.scoring
         )
-        better = sc[0] >= score0
+        if config.scoring == "lmeds":
+            # LMedS selects by median but (like cv2) keeps the least-squares
+            # refit whenever it explains at least as many robust-sigma inliers
+            # — a minimal-sample champion often has a marginally lower median
+            # yet a much smaller consensus set.
+            better = jnp.sum(inl_ref[0]) >= jnp.sum(inl_best)
+        else:
+            better = sc[0] >= score0
         h_best = jnp.where(better, h_ref, h_best)
         inl_best = jnp.where(better, inl_ref[0], inl_best)
         score0 = jnp.maximum(sc[0], score0)

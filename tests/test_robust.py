@@ -217,3 +217,99 @@ def test_find_homography_confidence(key):
 
     with _pytest.raises(ValueError):
         sks_tpu.find_homography(src, tar, method="fused", confidence=0.99)
+
+
+def test_lmeds_rejects_outliers(key):
+    """LMedS (threshold-free) finds the true model under 40% contamination."""
+    src, tar, h_true, true_inl = jit_of(
+        lambda k: _contaminated(k, outlier_frac=0.4)
+    )(key)
+    config = RansacConfig(num_hypotheses=1024, threshold=4.0, scoring="lmeds")
+    res = ransac_homography(key, src, tar, config)
+    err = apply_homography(res.h, src) - tar
+    err = jnp.sqrt(jnp.sum(err * err, axis=-1))
+    inlier_err = jnp.where(true_inl, err, 0.0).sum() / true_inl.sum()
+    assert float(inlier_err) < 2.0, float(inlier_err)
+    # Robust-sigma inlier rule recovers essentially the true inlier set.
+    agree = jnp.mean((res.inlier_mask == true_inl).astype(jnp.float32))
+    assert float(agree) > 0.9, float(agree)
+
+
+def test_get_perspective_transform(key):
+    """cv2-style exact 4-point call, batched, solver-agnostic."""
+    import sks_tpu
+    from sks_tpu.utils.synth import random_quad_pairs
+
+    src, tar = jit_of(lambda k: random_quad_pairs(k, 8, jnp.float32))(key)
+    for solver in ("aca", "sks", "gpt_lu"):
+        h = sks_tpu.get_perspective_transform(src, tar, solver=solver)
+        assert h.shape == (8, 3, 3)
+        np.testing.assert_allclose(np.asarray(h[:, 2, 2]), 1.0, atol=1e-5)
+        w = apply_homography(h, src)
+        np.testing.assert_allclose(
+            np.asarray(w), np.asarray(tar), atol=2e-2, rtol=1e-4
+        )
+
+
+def test_get_affine_transform(key):
+    """cv2-style exact 3-point affine: (..., 2, 3), maps src onto tar."""
+    import sks_tpu
+
+    a_true = jnp.asarray([[1.2, -0.3, 5.0], [0.4, 0.9, -2.0]], jnp.float32)
+    src = jax.random.uniform(key, (6, 3, 2), jnp.float32, 0.0, 100.0)
+    tar = src @ a_true[:, :2].T + a_true[:, 2]
+    a = sks_tpu.get_affine_transform(src, tar)
+    assert a.shape == (6, 2, 3)
+    np.testing.assert_allclose(
+        np.asarray(a), np.tile(np.asarray(a_true), (6, 1, 1)), atol=1e-3
+    )
+
+
+def test_prosac_schedule_properties():
+    """Growth schedule: starts at m, non-decreasing, bounded by N."""
+    from sks_tpu.robust.ransac import prosac_prefix_sizes
+
+    sizes = prosac_prefix_sizes(200, 1024)
+    assert sizes[0] == 4
+    assert (np.diff(sizes) >= 0).all()
+    assert sizes.max() <= 200
+    assert sizes[-1] > 4  # it actually grows
+
+
+def test_prosac_sampling_indices(key):
+    """Every index lies inside its hypothesis' prefix; newest point included."""
+    from sks_tpu.robust.ransac import (
+        prosac_prefix_sizes,
+        sample_minimal_sets_prosac,
+    )
+
+    n, b = 100, 512
+    idx = np.asarray(sample_minimal_sets_prosac(key, n, b))
+    sizes = prosac_prefix_sizes(n, b)
+    assert idx.shape == (b, 4)
+    assert (idx >= 0).all() and (idx < sizes[:, None]).all()
+    np.testing.assert_array_equal(idx[:, 3], sizes - 1)
+
+
+def test_prosac_quality_ordered_recovery(key):
+    """PROSAC with quality-sorted matches beats uniform at a tiny budget."""
+    # Inliers first (sorted by 'quality'), 70% outliers appended.
+    k1, k2 = jax.random.split(key)
+    src, tar, h_true = jit_of(
+        lambda k: __import__('sks_tpu').utils.synth.random_correspondences(
+            k, (), 60, 0.5, jnp.float32
+        )
+    )(k1)
+    junk_src = jax.random.uniform(k2, (140, 2), jnp.float32, 0.0, 640.0)
+    junk_tar = jax.random.uniform(key, (140, 2), jnp.float32, 0.0, 640.0)
+    src_all = jnp.concatenate([src, junk_src])
+    tar_all = jnp.concatenate([tar, junk_tar])
+
+    import sks_tpu
+
+    h, mask = sks_tpu.find_homography(
+        src_all, tar_all, key=key, max_iters=128, sampling="prosac"
+    )
+    err = apply_homography(h, src) - tar
+    err = jnp.sqrt(jnp.sum(err * err, axis=-1))
+    assert float(jnp.mean(err)) < 2.0, float(jnp.mean(err))
