@@ -17,10 +17,11 @@ from jax import Array
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from sks_tpu.ops import SOLVERS_H, aca_valid_mask
+from sks_tpu.ops import SOLVERS_H, aca_valid_mask, sks_valid_mask
 from sks_tpu.robust.ransac import (
     RansacConfig,
     RansacResult,
+    _refine_and_pack,
     sample_minimal_sets,
     score_hypotheses,
 )
@@ -62,6 +63,8 @@ def sharded_ransac_homography(
             "fused path supports solver='aca', scoring='inliers'")
         assert b_local % 128 == 0, (b_local,)
 
+    k_local = max(1, min(config.lo_candidates, b_local))
+
     def shard_fn(key, src, tar):
         dev = jax.lax.axis_index(axis)
         k = jax.random.fold_in(key, dev)
@@ -74,63 +77,48 @@ def sharded_ransac_homography(
             pts = jnp.concatenate([src.T, tar.T], axis=0)
             t2 = jnp.asarray(config.threshold**2, src.dtype)
             counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2)
-            best = jnp.argmax(counts.reshape(-1))
-            best_h = solver(s4[best], t4[best])
-            scores1, inl1 = score_hypotheses(
-                best_h[None], src, tar, config.threshold, None, "inliers"
+            _, top = jax.lax.top_k(counts.reshape(-1), k_local)
+            s4k, t4k = s4[top], t4[top]
+            h_loc = solver(s4k, t4k)
+            h_loc = jnp.where(
+                aca_valid_mask(s4k, t4k)[..., None, None], h_loc, jnp.nan
             )
-            best_score = scores1[0]
-            best_inl = inl1[0]
+            sc_loc, _ = score_hypotheses(
+                h_loc, src, tar, config.threshold, None, "inliers"
+            )
         else:
             h = solver(s4, t4)
-            if config.solver in ("aca", "sks"):
+            if config.solver == "aca":
                 valid = aca_valid_mask(s4, t4)
                 h = jnp.where(valid[..., None, None], h, jnp.nan)
-            scores, inl = score_hypotheses(
-                h, src, tar, config.threshold, None, config.scoring
+            elif config.solver == "sks":
+                valid = sks_valid_mask(s4, t4)
+                h = jnp.where(valid[..., None, None], h, jnp.nan)
+            scores, _ = score_hypotheses(
+                h, src, tar, config.threshold, None, config.scoring,
+                config.sigma_max,
             )
-            best = jnp.argmax(scores)
-            best_score = scores[best]
-            best_h = h[best]
-            best_inl = inl[best]
-
-        gmax = jax.lax.pmax(best_score, axis)
-        mine = best_score >= gmax
-        winner = jax.lax.pmin(
-            jnp.where(mine, dev, jnp.asarray(n_dev, jnp.int32)), axis
-        )
-        sel = (dev == winner).astype(best_h.dtype)
-        h_out = jax.lax.psum(best_h * sel, axis)
-        inl_out = jax.lax.psum(best_inl.astype(jnp.int32) * sel.astype(jnp.int32), axis) > 0
-        return h_out, inl_out, gmax
+            sc_loc, top = jax.lax.top_k(scores, k_local)
+            h_loc = h[top]
+        # Local top-K stays sharded; the global reduction happens outside.
+        return h_loc, sc_loc
 
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False,  # outputs are replicated via psum/pmax, not inferred
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,  # inputs are replicated, outputs sharded over axis
     )
-    h_best, inl_best, score_best = fn(key, src, tar)
+    h_all, sc_all = fn(key, src, tar)  # (n_dev * k_local, 3, 3), (n_dev*k,)
 
-    if config.refine_iters > 0:
-        from sks_tpu.robust.ransac import _irls_refine
-
-        h_ref = _irls_refine(
-            h_best, src, tar, inl_best, config.refine_iters, config.threshold
-        )
-        sc, inl_ref = score_hypotheses(
-            h_ref[None], src, tar, config.threshold, None, config.scoring
-        )
-        better = sc[0] >= score_best
-        h_best = jnp.where(better, h_ref, h_best)
-        inl_best = jnp.where(better, inl_ref[0], inl_best)
-        score_best = jnp.maximum(sc[0], score_best)
-
-    h_best = h_best / h_best[2, 2]
-    return RansacResult(
-        h=h_best,
-        inlier_mask=inl_best,
-        num_inliers=jnp.sum(inl_best).astype(jnp.int32),
-        score=score_best,
+    # Global consensus: top-K of the device-local top-Ks (the all-gather of
+    # (n_dev*K) 9-float models is the only cross-device traffic).
+    k_cand = max(1, min(config.lo_candidates, n_dev * k_local))
+    sc_top, idx = jax.lax.top_k(sc_all, k_cand)
+    h_top = h_all[idx]
+    _, inl0 = score_hypotheses(
+        h_top[:1], src, tar, config.threshold, None, config.scoring,
+        config.sigma_max,
     )
+    return _refine_and_pack(h_top, sc_top, inl0[0], src, tar, config, None)

@@ -24,12 +24,13 @@ import jax.numpy as jnp
 from jax import Array
 
 from sks_tpu.geom.homography import apply_homography, inv_h
-from sks_tpu.ops import SOLVERS_H, aca_valid_mask
+from sks_tpu.ops import SOLVERS_H, aca_valid_mask, sks_valid_mask
 from sks_tpu.ops.ndlt import ndlt_h
 
 __all__ = [
     "RansacConfig",
     "RansacResult",
+    "magsac_weights",
     "ransac_homography",
     "ransac_homography_adaptive",
     "ransac_homography_fused",
@@ -38,6 +39,44 @@ __all__ = [
     "prosac_prefix_sizes",
     "score_hypotheses",
 ]
+
+#: MAGSAC++ residual-space dimensionality: the symmetric transfer error is a
+#: 4-vector (forward + backward 2D reprojection), so nu = 4 and the 0.99
+#: chi^2_4 quantile gives tau(sigma) = k * sigma with k = sqrt(13.2767).
+_MAGSAC_NU = 4.0
+_MAGSAC_K = 3.6437
+
+
+def magsac_weights(r2: Array, sigma_max, k: float = _MAGSAC_K) -> Array:
+    """Sigma-marginalized point weights (MAGSAC-style sigma-consensus).
+
+    Model: the noise scale is unknown; each ``sigma ~ U(0, sigma_max]`` deems
+    a point an inlier within ``tau(sigma) = k * sigma`` (k the 0.99 chi_4
+    quantile — the symmetric transfer residual is 4-dimensional) and scores
+    it with the truncated-quadratic (MSAC) gain.  Marginalizing that gain
+    over the sigma prior has a closed form:
+
+        (1/s) ∫_0^s max(0, 1 - r²/(k²σ²)) dσ = (1 - r / (k s))²_+ ,  s = σ_max
+
+    — a flat-topped weight, smoothly decaying, exactly 0 beyond ``k σ_max``:
+    no single threshold is trusted, which is the point of MAGSAC's
+    sigma-consensus (Barath et al., CVPR 2019/2020; no reference counterpart
+    — the reference has no robust estimator).  These weights both score
+    models (their sum is the marginalized soft consensus) and drive the
+    weighted-DLT polishing step, the two halves of sigma-consensus.
+
+    Args:
+      r2: (...) squared residuals (symmetric transfer, 4-dim).
+      sigma_max: maximum noise scale in pixels, set generously (the MAGSAC
+        papers use ~10 px everywhere).
+
+    Returns:
+      weights in [0, 1], same shape as ``r2``.
+    """
+    sigma_max = jnp.asarray(sigma_max, r2.dtype)
+    r = jnp.sqrt(jnp.maximum(r2, 0.0))
+    w = jnp.clip(1.0 - r / (k * sigma_max), 0.0, 1.0) ** 2
+    return jnp.where(jnp.isfinite(r2), w, 0.0)
 
 
 @dataclass(frozen=True)
@@ -50,6 +89,15 @@ class RansacConfig:
     refine_iters: int = 2  # IRLS refinement rounds on the winning consensus
     scoring: str = "inliers"  # 'inliers' (RANSAC) | 'msac' | 'magsac' | 'lmeds'
     sampling: str = "uniform"  # 'uniform' | 'prosac' (points sorted by quality)
+    # MAGSAC++ maximum noise scale.  None -> 3 * threshold: sigma_max is meant
+    # to be set generously (the MAGSAC paper uses ~10 px everywhere) — the
+    # marginalization, not the user, localizes the true scale.
+    sigma_max: float | None = None
+    # LO-RANSAC candidate count: the top-K hypotheses (not just the argmax)
+    # are polished and the winner is selected *post*-polish — a bad champion
+    # basin cannot eclipse a recoverable runner-up.  K NDLT solves ~ free next
+    # to scoring B hypotheses.
+    lo_candidates: int = 4
 
 
 @jax.tree_util.register_pytree_node_class
@@ -114,20 +162,33 @@ def prosac_prefix_sizes(num_points: int, batch: int, m: int = 4):
 
 
 def sample_minimal_sets_prosac(
-    key: Array, num_points: int, batch: int
+    key: Array, num_points: int, batch: int, sizes: Array | None = None
 ) -> Array:
     """(B, 4) progressive index tuples (PROSAC; Chum & Matas 2005).
 
     Assumes correspondences are sorted by descending match quality (e.g. the
     scores from ``sks_tpu.features.matching``).  Hypothesis t draws point
-    n_t - 1 (the newest admitted) plus 3 uniform picks from the first
-    n_t - 1 — early hypotheses concentrate on the best matches, late ones
-    approach uniform RANSAC.  Collisions are allowed, as in
-    :func:`sample_minimal_sets`.
+    n_t - 1 (the newest admitted) plus 3 *distinct* picks from the first
+    n_t - 1 (sequential shifted draws — at the smallest prefix a
+    with-replacement draw would waste ~78% of hypotheses on duplicates).
+
+    ``sizes`` optionally supplies a precomputed growth schedule slice so
+    chunked callers can continue one global schedule instead of restarting it
+    (see :func:`ransac_homography_adaptive`).
     """
-    sizes = jnp.asarray(prosac_prefix_sizes(num_points, batch))  # (B,)
+    if sizes is None:
+        sizes = jnp.asarray(prosac_prefix_sizes(num_points, batch))  # (B,)
     u = jax.random.uniform(key, (batch, 3))
-    head = jnp.floor(u * (sizes[:, None] - 1).astype(u.dtype)).astype(jnp.int32)
+    m = (sizes - 1).astype(u.dtype)  # companion pool: the top n_t - 1 points
+    i0 = jnp.floor(u[:, 0] * m).astype(jnp.int32)
+    i1 = jnp.floor(u[:, 1] * (m - 1.0)).astype(jnp.int32)
+    i1 = i1 + (i1 >= i0).astype(jnp.int32)
+    i2 = jnp.floor(u[:, 2] * (m - 2.0)).astype(jnp.int32)
+    lo = jnp.minimum(i0, i1)
+    hi = jnp.maximum(i0, i1)
+    i2 = i2 + (i2 >= lo).astype(jnp.int32)
+    i2 = i2 + (i2 >= hi).astype(jnp.int32)
+    head = jnp.stack([i0, i1, i2], axis=-1)
     return jnp.concatenate([head, sizes[:, None] - 1], axis=-1)
 
 
@@ -150,6 +211,7 @@ def score_hypotheses(
     threshold: float,
     point_mask: Array | None = None,
     scoring: str = "inliers",
+    sigma_max: float | None = None,
 ):
     """Score a batch of hypotheses against all correspondences.
 
@@ -159,9 +221,11 @@ def score_hypotheses(
       threshold: inlier threshold in pixels (symmetric transfer).
       point_mask: optional (N,) validity for padded point sets.
       scoring: 'inliers' counts; 'msac' sums truncated quadratic gains;
-        'magsac' a fixed-sigma-ensemble soft score (MAGSAC++-style weighting);
-        'lmeds' negated median squared residual (threshold-free, cv2.LMEDS —
-        inliers from the 2.5-robust-sigma rule on the median).
+        'magsac' the sigma-marginalized soft consensus (sum of
+        :func:`magsac_weights` with sigma_max = threshold — MAGSAC++
+        sigma-consensus scoring); 'lmeds' negated median squared residual
+        (threshold-free, cv2.LMEDS — inliers from the 2.5-robust-sigma rule
+        on the median).
 
     Returns:
       (scores (B,), inlier_mask (B, N)) — degenerate/non-finite hypotheses get
@@ -182,13 +246,13 @@ def score_hypotheses(
             gain = jnp.where(point_mask, gain, 0.0)
         score = jnp.sum(gain, axis=-1)
     elif scoring == "magsac":
-        # Fixed sigma ensemble: average truncated-likelihood gains over a small
-        # set of noise scales (marginalizes sigma like MAGSAC++, static shape).
-        sigmas = jnp.asarray([0.5, 1.0, 2.0, 4.0], r2.dtype) * jnp.sqrt(t2)
-        g = jnp.maximum(0.0, 1.0 - r2[..., None] / (sigmas**2))
+        # MAGSAC++ sigma-consensus: marginalized soft inlier mass (closed-form
+        # incomplete-gamma weights).  The inlier *mask* stays at the user
+        # threshold (cv2 semantics); only scoring/polishing marginalize sigma.
+        g = magsac_weights(r2, sigma_max if sigma_max is not None else 3.0 * threshold)
         if point_mask is not None:
-            g = jnp.where(point_mask[..., None], g, 0.0)
-        score = jnp.mean(jnp.sum(g, axis=-2), axis=-1)
+            g = jnp.where(point_mask, g, 0.0)
+        score = jnp.sum(g, axis=-1)
     elif scoring == "lmeds":
         # Least-median-of-squares (cv2.LMEDS): threshold-free model score;
         # inliers from the standard robust-sigma rule on the median residual.
@@ -202,6 +266,9 @@ def score_hypotheses(
             jnp.sum(point_mask) if point_mask is not None else r2.shape[-1]
         )
         sigma = 2.5 * 1.4826 * (1.0 + 5.0 / jnp.maximum(nf - 4.0, 1.0)) * jnp.sqrt(med)
+        # Floor sigma (as cv2 does): on exact/noise-free data the median
+        # residual is ~0 and an unfloored rule would report zero inliers.
+        sigma = jnp.maximum(sigma, 1e-3)
         inl = r2 < (sigma * sigma)[..., None]
         if point_mask is not None:
             inl = inl & point_mask
@@ -213,29 +280,56 @@ def score_hypotheses(
     return score, inl
 
 
-def _irls_refine(h0: Array, src: Array, tar: Array, inl: Array, iters: int,
-                 threshold: float) -> Array:
-    """Local optimization: IRLS NDLT on the consensus set (LO-RANSAC step)."""
-    h = h0
+def _irls_refine(h0: Array, src: Array, tar: Array, iters: int,
+                 threshold: float, point_mask: Array | None = None,
+                 scoring: str = "inliers",
+                 sigma_max: float | None = None) -> Array:
+    """Local optimization: annealed IRLS NDLT (LO-RANSAC + GNC).
 
-    def body(_, h):
+    Each iteration rebuilds the weight set from the *current* model's
+    residuals, so the refit can grow the consensus beyond the seed
+    hypothesis's inliers (post-polish selection in the caller guards
+    regressions).  The scale anneals 4x -> 1x over the iterations (graduated
+    non-convexity): a coarse first basin lets a mediocre seed slide toward
+    the global consensus before the weights sharpen.  ``scoring='magsac'``
+    uses the sigma-marginalized :func:`magsac_weights` instead of a hard
+    threshold — MAGSAC++'s sigma-consensus polishing.  Padded points
+    (``point_mask``) never receive weight.
+    """
+    pm = None if point_mask is None else jnp.asarray(point_mask, src.dtype)
+    sm = sigma_max if sigma_max is not None else 3.0 * threshold
+
+    def body(t, h):
+        # GNC schedule: 2^(iters-2-t) capped to [1, 4] => e.g. [4,2,1,1].
+        scale = jnp.clip(
+            2.0 ** (iters - 2 - t).astype(src.dtype), 1.0, 4.0
+        )
         r2 = _residual2(h[None], src, tar)[0]
-        w = jnp.where(r2 < threshold * threshold, 1.0, 0.0).astype(src.dtype)
-        w = w * inl_any  # never resurrect masked points
+        if scoring == "magsac":
+            w = magsac_weights(r2, scale * jnp.asarray(sm, src.dtype))
+            w = w.astype(src.dtype)
+        else:
+            thr = scale * threshold
+            w = jnp.where(r2 < thr * thr, 1.0, 0.0).astype(src.dtype)
+        if pm is not None:
+            w = w * pm
         h_new = ndlt_h(src, tar, weights=w)
+        # Require >= 4 points of effective weight mass, not just 4 nonzeros —
+        # a refit from vanishing weights is ill-conditioned garbage.
         ok = jnp.all(jnp.isfinite(h_new)) & (jnp.sum(w) >= 4)
         return jnp.where(ok, h_new, h)
 
-    inl_any = jnp.asarray(inl, src.dtype)
-    return jax.lax.fori_loop(0, iters, body, h)
+    return jax.lax.fori_loop(0, iters, body, h0)
 
 
-def _eval_chunk(key, src, tar, config, point_mask):
+def _eval_chunk(key, src, tar, config, point_mask, prosac_sizes=None):
     """Sample + solve + score one fixed-shape batch; return its champion."""
     n = src.shape[-2]
     solver = SOLVERS_H[config.solver]
     if config.sampling == "prosac":
-        idx = sample_minimal_sets_prosac(key, n, config.num_hypotheses)
+        idx = sample_minimal_sets_prosac(
+            key, n, config.num_hypotheses, sizes=prosac_sizes
+        )
     elif config.sampling == "uniform":
         idx = sample_minimal_sets(key, n, config.num_hypotheses)
     else:
@@ -243,36 +337,59 @@ def _eval_chunk(key, src, tar, config, point_mask):
     s4 = jnp.take(src, idx, axis=0)  # (B, 4, 2)
     t4 = jnp.take(tar, idx, axis=0)
     h = solver(s4, t4)  # (B, 3, 3), up to scale
-    if config.solver in ("aca", "sks"):
+    if config.solver == "aca":
         valid = aca_valid_mask(s4, t4)
         h = jnp.where(valid[..., None, None], h, jnp.nan)
+    elif config.solver == "sks":
+        # SKS has its own degeneracy set (M==N anchors, P/Q on the MN line,
+        # vanishing kernel determinant) — mask with the SKS-specific rule so
+        # near-degenerate-but-finite hypotheses score -1 instead of garbage.
+        valid = sks_valid_mask(s4, t4)
+        h = jnp.where(valid[..., None, None], h, jnp.nan)
     scores, inl = score_hypotheses(
-        h, src, tar, config.threshold, point_mask, config.scoring
+        h, src, tar, config.threshold, point_mask, config.scoring,
+        config.sigma_max,
     )
-    best = jnp.argmax(scores)
-    return h[best], scores[best], inl[best]
+    k_cand = max(1, min(config.lo_candidates, config.num_hypotheses))
+    sc_top, top_idx = jax.lax.top_k(scores, k_cand)
+    return h[top_idx], sc_top, inl[top_idx[0]]
 
 
-def _refine_and_pack(h_best, score0, inl_best, src, tar, config, point_mask):
-    """Shared tail: IRLS local optimization, keep-if-better, normalize."""
+def _refine_and_pack(h_top, sc_top, inl_best, src, tar, config, point_mask):
+    """Shared tail: polish the top-K candidates, select post-polish, normalize.
+
+    Args:
+      h_top: (K, 3, 3) best hypotheses by pre-polish score, best first.
+      sc_top: (K,) their scores.
+      inl_best: (N,) inlier mask of the pre-polish champion.
+    """
+    h_best, score0 = h_top[0], sc_top[0]
     if config.refine_iters > 0:
-        h_ref = _irls_refine(
-            h_best, src, tar, inl_best, config.refine_iters, config.threshold
-        )
-        sc, inl_ref = score_hypotheses(
-            h_ref[None], src, tar, config.threshold, point_mask, config.scoring
+        h_pol = jax.vmap(
+            lambda h: _irls_refine(
+                h, src, tar, config.refine_iters, config.threshold,
+                point_mask, config.scoring, config.sigma_max,
+            )
+        )(h_top)
+        # Candidates: every polished model, plus the raw champion as the
+        # keep-if-better fallback (last, so polished wins score ties).
+        cand = jnp.concatenate([h_pol, h_best[None]], axis=0)
+        sc, inls = score_hypotheses(
+            cand, src, tar, config.threshold, point_mask,
+            config.scoring, config.sigma_max,
         )
         if config.scoring == "lmeds":
             # LMedS selects by median but (like cv2) keeps the least-squares
-            # refit whenever it explains at least as many robust-sigma inliers
-            # — a minimal-sample champion often has a marginally lower median
-            # yet a much smaller consensus set.
-            better = jnp.sum(inl_ref[0]) >= jnp.sum(inl_best)
+            # refit that explains the most robust-sigma inliers — a
+            # minimal-sample champion often has a marginally lower median yet
+            # a much smaller consensus set.
+            sel = jnp.sum(inls, axis=-1).astype(sc.dtype)
         else:
-            better = sc[0] >= score0
-        h_best = jnp.where(better, h_ref, h_best)
-        inl_best = jnp.where(better, inl_ref[0], inl_best)
-        score0 = jnp.maximum(sc[0], score0)
+            sel = sc
+        idx = jnp.argmax(sel)
+        h_best = cand[idx]
+        inl_best = inls[idx]
+        score0 = sc[idx]
     h_best = h_best / h_best[2, 2]
     return RansacResult(
         h=h_best,
@@ -357,31 +474,55 @@ def ransac_homography_adaptive(
             jnp.asarray(i * chunk, src.dtype) < needed(ninl)
         )
 
+    # PROSAC: one global growth schedule over the worst-case budget, sliced
+    # per chunk — chunk k continues toward uniform sampling instead of
+    # re-drawing the quality-concentrated head every time.
+    all_sizes = (
+        jnp.asarray(prosac_prefix_sizes(src.shape[-2], chunk * max_chunks))
+        if config.sampling == "prosac"
+        else None
+    )
+    k_cand = max(1, min(config.lo_candidates, chunk))
+
     def body(state):
-        i, k, h, sc, inl, ninl = state
+        i, k, h_k, sc_k, inl, ninl = state
         k, sub = jax.random.split(k)
-        h_c, sc_c, inl_c = _eval_chunk(sub, src, tar, config, point_mask)
-        better = sc_c > sc
-        h = jnp.where(better, h_c, h)
-        inl = jnp.where(better, inl_c, inl)
-        ninl = jnp.where(
-            better, jnp.sum(inl_c).astype(src.dtype), ninl
+        sizes_i = (
+            jax.lax.dynamic_slice(all_sizes, (i * chunk,), (chunk,))
+            if all_sizes is not None
+            else None
         )
-        return (i + 1, k, h, jnp.maximum(sc_c, sc), inl, ninl)
+        h_c, sc_c, inl_c = _eval_chunk(
+            sub, src, tar, config, point_mask, prosac_sizes=sizes_i
+        )
+        # Merge running top-K with this chunk's top-K.
+        sc_all = jnp.concatenate([sc_k, sc_c])
+        h_all = jnp.concatenate([h_k, h_c])
+        sc_new, idx = jax.lax.top_k(sc_all, k_cand)
+        h_new = h_all[idx]
+        better = sc_c[0] > sc_k[0]
+        inl = jnp.where(better, inl_c, inl)
+        ninl = jnp.where(better, jnp.sum(inl_c).astype(src.dtype), ninl)
+        return (i + 1, k, h_new, sc_new, inl, ninl)
 
     n = src.shape[-2]
     init = (
         jnp.asarray(0, jnp.int32),
         key,
-        jnp.full((3, 3), jnp.nan, src.dtype),
-        jnp.asarray(-jnp.inf, src.dtype),
+        jnp.full((k_cand, 3, 3), jnp.nan, src.dtype),
+        jnp.full((k_cand,), -jnp.inf, src.dtype),
         jnp.zeros((n,), bool),
         jnp.asarray(0.0, src.dtype),
     )
-    _, _, h_best, score_best, inl_best, _ = jax.lax.while_loop(cond, body, init)
-    h_best = jnp.where(jnp.isfinite(h_best), h_best, jnp.eye(3, dtype=src.dtype))
+    _, _, h_top, sc_top, inl_best, _ = jax.lax.while_loop(cond, body, init)
+    # All-or-nothing fallback per candidate: a partially-finite model must not
+    # be blended elementwise with the identity.
+    finite = jnp.all(jnp.isfinite(h_top), axis=(-2, -1))
+    h_top = jnp.where(
+        finite[:, None, None], h_top, jnp.eye(3, dtype=src.dtype)
+    )
     return _refine_and_pack(
-        h_best, score_best, inl_best, src, tar, config, point_mask
+        h_top, sc_top, inl_best, src, tar, config, point_mask
     )
 
 
@@ -423,30 +564,18 @@ def ransac_homography_fused(
     t2 = jnp.asarray(config.threshold * config.threshold, src.dtype)
     counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2)
     # SoA index (j, lane) is hypothesis j*128 + lane: reshape(-1) is id order.
-    best = jnp.argmax(counts.reshape(-1))
+    k_cand = max(1, min(config.lo_candidates, b))
+    _, top_idx = jax.lax.top_k(counts.reshape(-1), k_cand)
 
-    h_best = SOLVERS_H["aca"](s4[best], t4[best])
-    scores, inl = score_hypotheses(
-        h_best[None], src, tar, config.threshold, None, "inliers"
+    # Only the K winning minimal sets are re-solved on the XLA path.
+    s4k, t4k = s4[top_idx], t4[top_idx]
+    h_top = SOLVERS_H["aca"](s4k, t4k)
+    h_top = jnp.where(
+        aca_valid_mask(s4k, t4k)[..., None, None], h_top, jnp.nan
     )
-    score0, inl_best = scores[0], inl[0]
-
-    if config.refine_iters > 0:
-        h_ref = _irls_refine(
-            h_best, src, tar, inl_best, config.refine_iters, config.threshold
-        )
-        sc, inl_ref = score_hypotheses(
-            h_ref[None], src, tar, config.threshold, None, "inliers"
-        )
-        better = sc[0] >= score0
-        h_best = jnp.where(better, h_ref, h_best)
-        inl_best = jnp.where(better, inl_ref[0], inl_best)
-        score0 = jnp.maximum(sc[0], score0)
-
-    h_best = h_best / h_best[2, 2]
-    return RansacResult(
-        h=h_best,
-        inlier_mask=inl_best,
-        num_inliers=jnp.sum(inl_best).astype(jnp.int32),
-        score=score0,
+    sc_top, inl = score_hypotheses(
+        h_top, src, tar, config.threshold, None, "inliers"
+    )
+    return _refine_and_pack(
+        h_top, sc_top, inl[0], src, tar, config, None
     )

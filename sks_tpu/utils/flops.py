@@ -2,7 +2,7 @@
 
 The reference carries per-stage FLOP counts as inline comments on nearly every
 line (``ACA_SKS.cpp:27-98``) and headline counts in the README; here they are
-data, checkable against XLA's own cost analysis (see tests/test_flops.py) and
+data, checked against XLA's own cost analysis (tests/test_utils.py) and
 usable for roofline estimates in the bench layer.
 """
 

@@ -30,6 +30,25 @@ import pytest  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 from functools import partial  # noqa: E402
 
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (full pre-merge suite)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite stays <5 min: slow-marked tests need --runslow/RUN_SLOW=1."""
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with --runslow or RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
 from sks_tpu.utils.synth import random_correspondences  # noqa: E402
 
 # Eager (unjitted) jnp dispatch compiles every scalar op separately — seconds
