@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from sks_tpu.kernels.aca_pallas import LANES, aca_solve_soa, to_soa
+from sks_tpu.kernels.baselines_pallas import SOA_SOLVERS
 from sks_tpu.kernels.sks_pallas import sks_solve_soa
 from sks_tpu.ops import SOLVERS_H
 from sks_tpu.utils.synth import random_quad_pairs
@@ -69,13 +70,16 @@ def aos_chained(src, tar, k, *, name: str):
 
 
 @partial(jax.jit, static_argnames=("kind", "tile"))
-def soa_chained(s, t, k, *, kind: str, tile: int = 128):
-    """K chained Pallas solves (kind in {'aca', 'sks'}) on SoA (8, M, 128)."""
-    solve = {"aca": aca_solve_soa, "sks": sks_solve_soa}[kind]
+def soa_chained(s, t, k, *, kind: str, tile: int | None = None):
+    """K chained Pallas solves on SoA (8, M, 128), any registered solver."""
+    solve = {"aca": aca_solve_soa, "sks": sks_solve_soa, **SOA_SOLVERS}[kind]
     m = s.shape[1]
+    if tile is None:
+        tile = 128 if kind in ("aca", "sks") else None
 
     def body(_, carry):
-        return solve(s, t, chain=carry[8, 0, 0], tile=min(tile, m))
+        return solve(s, t, chain=carry[8, 0, 0],
+                     tile=min(tile, m) if tile else None)
 
     out = jax.lax.fori_loop(0, k, body, jnp.zeros((9, m, LANES), s.dtype))
     return jnp.sum(out[8])
@@ -90,9 +94,14 @@ def soa_xla_chained(s, t, k, *, kind: str):
     Pallas rows is XLA's fusion/scheduling quality on the straight-line body.
     """
     from sks_tpu.ops.aca import aca_core
+    from sks_tpu.ops.ge import ge_core
+    from sks_tpu.ops.gpt import gpt_core
+    from sks_tpu.ops.ho import ho_core
+    from sks_tpu.ops.ndlt import ndlt_core
     from sks_tpu.ops.sks import sks_core
 
-    core = {"aca": aca_core, "sks": sks_core}[kind]
+    core = {"aca": aca_core, "sks": sks_core, "rho_ge": ge_core,
+            "gpt_lu": gpt_core, "ho": ho_core, "ndlt": ndlt_core}[kind]
     m = s.shape[1]
 
     def body(_, carry):
@@ -186,7 +195,7 @@ def run_table(full: bool = False, dtype=jnp.float32, seed: int = 0):
     if jax.default_backend() == "cpu":
         return rows  # Pallas TPU kernels have no CPU (non-interpret) lowering.
 
-    for kind in ("aca", "sks"):
+    for kind in ("aca", "sks", "rho_ge", "gpt_lu", "ho", "ndlt"):
         for b in _PALLAS_B:
             src, tar = jax.jit(lambda k: random_quad_pairs(k, b, dtype))(key)
             s, t = jax.jit(to_soa)(src), jax.jit(to_soa)(tar)

@@ -29,6 +29,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
+from sks_tpu.ops.linalg import mm_highest as _mm
+
 __all__ = ["decompose_homography", "select_pose", "recover_pose"]
 
 
@@ -50,7 +52,7 @@ def decompose_homography(hn: Array):
       (...,) bool — True where H is (near) a pure rotation (d1 ~ d2 ~ d3), in
       which case t ~ 0 and n is meaningless.
     """
-    w, v = _sym_eig_desc(jnp.swapaxes(hn, -1, -2) @ hn)
+    w, v = _sym_eig_desc(_mm(jnp.swapaxes(hn, -1, -2), hn))
     w = jnp.maximum(w, 0.0)
     d = jnp.sqrt(w)
     d1, d2, d3 = d[..., 0], d[..., 1], d[..., 2]
@@ -60,7 +62,7 @@ def decompose_homography(hn: Array):
     d1n = d1 * inv_d2
     d3n = d3 * inv_d2
 
-    u = hs @ v * jnp.where(d > 0, d2[..., None] / d, 0.0)[..., None, :]
+    u = _mm(hs, v) * jnp.where(d > 0, d2[..., None] / d, 0.0)[..., None, :]
     s = jnp.linalg.det(u) * jnp.linalg.det(v)
 
     denom = jnp.maximum(d1n * d1n - d3n * d3n, 1e-12)
@@ -101,9 +103,9 @@ def decompose_homography(hn: Array):
 
     uu = u[..., None, :, :]
     vv = v[..., None, :, :]
-    r = s[..., None, None, None] * uu @ rp @ jnp.swapaxes(vv, -1, -2)
-    t = jnp.einsum("...ij,...kj->...ki", u, tp)
-    n = jnp.einsum("...ij,...kj->...ki", v, np_)
+    r = s[..., None, None, None] * _mm(_mm(uu, rp), jnp.swapaxes(vv, -1, -2))
+    t = jnp.einsum("...ij,...kj->...ki", u, tp, precision="highest")
+    n = jnp.einsum("...ij,...kj->...ki", v, np_, precision="highest")
     # Canonicalize: plane normal towards camera 1 (n_z > 0 convention).
     flip = jnp.where(n[..., 2:3] < 0, -1.0, 1.0)
     n = n * flip
@@ -148,7 +150,7 @@ def select_pose(cands: dict, pts1n: Array, pts2n: Array,
     good = (vis1 & vis2).mean(axis=-1)  # (..., 4)
     ranking = good
     if normal_prior is not None:
-        bonus = jnp.einsum("...kj,...j->...k", n, normal_prior)
+        bonus = jnp.einsum("...kj,...j->...k", n, normal_prior, precision="highest")
         ranking = ranking + 0.1 * bonus
     best = jnp.argmax(ranking, axis=-1)
 
@@ -170,12 +172,12 @@ def recover_pose(h: Array, k1: Array, k2: Array, pts1: Array, pts2: Array,
     """End-to-end: pixel homography + intrinsics -> (R, t/d, n, score)."""
     k1i = jnp.linalg.inv(k1)
     k2i = jnp.linalg.inv(k2)
-    hn = k2i @ h @ k1
+    hn = _mm(_mm(k2i, h), k1)
     cands = decompose_homography(hn)
 
     def norm_pts(pts, ki):
         m = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
-        mn = jnp.einsum("...ij,...nj->...ni", ki, m)
+        mn = jnp.einsum("...ij,...nj->...ni", ki, m, precision="highest")
         return mn[..., :2] / mn[..., 2:3]
 
     return select_pose(

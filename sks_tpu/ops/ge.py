@@ -9,6 +9,10 @@ sparsity; here the elimination is statically unrolled by the tracer and the
 zero-block structure is exploited by eliminating the two 4x4 diagonal blocks
 independently before coupling through the last two columns.
 
+The straight-line component form (:func:`ge_core`) is the single source shared
+by the jnp op and the SoA Pallas kernel (``sks_tpu.kernels.baselines_pallas``),
+mirroring ``aca_core``.
+
 Structure used: with rows ordered [x-constraints; y-constraints],
 
     A = [ C  0  -diag(X) C2 ]        C  = [x y 1]  (4x3)
@@ -25,28 +29,68 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-__all__ = ["rho_ge"]
+__all__ = ["ge_core", "rho_ge"]
 
 
-def _solve3(c: Array, rhs: Array) -> Array:
-    """Cramer solve of the 3x3 system ``[x y 1] u = rhs`` (4th row unused)."""
-    det = (
-        c[..., 0, 0] * (c[..., 1, 1] - c[..., 2, 1])
-        - c[..., 0, 1] * (c[..., 1, 0] - c[..., 2, 0])
-        + (c[..., 1, 0] * c[..., 2, 1] - c[..., 2, 0] * c[..., 1, 1])
-    )
+def ge_core(
+    x0, y0, x1, y1, x2, y2, x3, y3,
+    X0, Y0, X1, Y1, X2, Y2, X3, Y3,
+):
+    """Straight-line RHO-GE on scalar-like components (flat point order).
+
+    Works on any broadcastable array components (jnp arrays, Pallas vector
+    tiles).  Returns the 9 homography entries row-major with ``H[2,2] == 1``
+    by construction (no pivoting: fixed-pivot degeneracies yield non-finite
+    entries, as in the reference).
+    """
+    # Cramer solve of [x y 1] u = r over the first three points; the 3x3
+    # determinant is shared by all six right-hand sides.
+    det = x0 * (y1 - y2) - y0 * (x1 - x2) + (x1 * y2 - x2 * y1)
     inv = 1.0 / det
 
-    # Explicit Cramer columns (rows 0..2 of C with last column == 1).
-    x0, y0 = c[..., 0, 0], c[..., 0, 1]
-    x1, y1 = c[..., 1, 0], c[..., 1, 1]
-    x2, y2 = c[..., 2, 0], c[..., 2, 1]
-    r0, r1, r2 = rhs[..., 0], rhs[..., 1], rhs[..., 2]
-    u0 = (r0 * (y1 - y2) - y0 * (r1 - r2) + (r1 * y2 - r2 * y1)) * inv
-    u1 = (x0 * (r1 - r2) - r0 * (x1 - x2) + (x1 * r2 - x2 * r1)) * inv
-    u2 = (x0 * (y1 * r2 - y2 * r1) - y0 * (x1 * r2 - x2 * r1)
-          + r0 * (x1 * y2 - x2 * y1)) * inv
-    return jnp.stack([u0, u1, u2], axis=-1)
+    def solve3(r0, r1, r2):
+        u0 = (r0 * (y1 - y2) - y0 * (r1 - r2) + (r1 * y2 - r2 * y1)) * inv
+        u1 = (x0 * (r1 - r2) - r0 * (x1 - x2) + (x1 * r2 - x2 * r1)) * inv
+        u2 = (x0 * (y1 * r2 - y2 * r1) - y0 * (x1 * r2 - x2 * r1)
+              + r0 * (x1 * y2 - x2 * y1)) * inv
+        return u0, u1, u2
+
+    # u(g) = u0 + h7 ux + h8 uy with g = (h7, h8) (linearity in g); same for v.
+    u0 = solve3(X0, X1, X2)
+    ux = solve3(x0 * X0, x1 * X1, x2 * X2)
+    uy = solve3(y0 * X0, y1 * X1, y2 * X2)
+    v0 = solve3(Y0, Y1, Y2)
+    vx = solve3(x0 * Y0, x1 * Y1, x2 * Y2)
+    vy = solve3(y0 * Y0, y1 * Y1, y2 * Y2)
+
+    def row(u):
+        return u[0] * x3 + u[1] * y3 + u[2]
+
+    # The fourth point's two constraints give the 2x2 system in (h7, h8).
+    a11 = row(ux) - x3 * X3
+    a12 = row(uy) - y3 * X3
+    b1 = X3 - row(u0)
+    a21 = row(vx) - x3 * Y3
+    a22 = row(vy) - y3 * Y3
+    b2 = Y3 - row(v0)
+
+    det2 = a11 * a22 - a12 * a21
+    inv2 = 1.0 / det2
+    h7 = (b1 * a22 - b2 * a12) * inv2
+    h8 = (a11 * b2 - a21 * b1) * inv2
+
+    h00 = u0[0] + h7 * ux[0] + h8 * uy[0]
+    h01 = u0[1] + h7 * ux[1] + h8 * uy[1]
+    h02 = u0[2] + h7 * ux[2] + h8 * uy[2]
+    h10 = v0[0] + h7 * vx[0] + h8 * vy[0]
+    h11 = v0[1] + h7 * vx[1] + h8 * vy[1]
+    h12 = v0[2] + h7 * vx[2] + h8 * vy[2]
+    return h00, h01, h02, h10, h11, h12, h7, h8, jnp.ones_like(h7)
+
+
+def _components(pts: Array):
+    p = pts.reshape(*pts.shape[:-2], 8)
+    return tuple(p[..., i] for i in range(8))
 
 
 def rho_ge(src: Array, tar: Array) -> Array:
@@ -59,45 +103,5 @@ def rho_ge(src: Array, tar: Array) -> Array:
       (..., 3, 3).  No pivoting: degenerate configurations that place a zero on
       the fixed pivot chain produce non-finite output (as in the reference).
     """
-    x, y = src[..., 0], src[..., 1]
-    xp, yp = tar[..., 0], tar[..., 1]
-
-    c = jnp.stack([x, y], axis=-1)  # (..., 4, 2)
-
-    # u(g) = u0 + U g  with g = (h7, h8): solve the first three x-rows for u
-    # under each of rhs = X, rhs = x*X, rhs = y*X (linearity in g).
-    u0 = _solve3(c, xp[..., :3])
-    ux = _solve3(c, (x * xp)[..., :3])
-    uy = _solve3(c, (y * xp)[..., :3])
-    v0 = _solve3(c, yp[..., :3])
-    vx = _solve3(c, (x * yp)[..., :3])
-    vy = _solve3(c, (y * yp)[..., :3])
-
-    # Row 3 (the fourth point) of each block gives the 2x2 system in g.
-    x3, y3 = x[..., 3], y[..., 3]
-    xp3, yp3 = xp[..., 3], yp[..., 3]
-
-    def row_apply(u):
-        return u[..., 0] * x3 + u[..., 1] * y3 + u[..., 2]
-
-    # x-block row3:  row.u - x3 X3 h7 - y3 X3 h8 = X3
-    #   with u = u0 + h7 ux + h8 uy:
-    #   h7 (row.ux - x3 X3) + h8 (row.uy - y3 X3) = X3 - row.u0
-    a11 = row_apply(ux) - x3 * xp3
-    a12 = row_apply(uy) - y3 * xp3
-    b1 = xp3 - row_apply(u0)
-    a21 = row_apply(vx) - x3 * yp3
-    a22 = row_apply(vy) - y3 * yp3
-    b2 = yp3 - row_apply(v0)
-
-    det = a11 * a22 - a12 * a21
-    inv = 1.0 / det
-    h7 = (b1 * a22 - b2 * a12) * inv
-    h8 = (a11 * b2 - a21 * b1) * inv
-
-    u = u0 + h7[..., None] * ux + h8[..., None] * uy
-    v = v0 + h7[..., None] * vx + h8[..., None] * vy
-
-    one = jnp.ones_like(h7)
-    row3 = jnp.stack([h7, h8, one], axis=-1)
-    return jnp.stack([u, v, row3], axis=-2)
+    h = ge_core(*_components(src), *_components(tar))
+    return jnp.stack(h, axis=-1).reshape(*h[0].shape, 3, 3)

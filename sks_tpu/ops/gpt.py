@@ -15,7 +15,67 @@ from jax import Array
 
 from sks_tpu.ops.linalg import solve_unrolled
 
-__all__ = ["gpt_lu", "build_gpt_system"]
+__all__ = ["gpt_core", "gpt_lu", "build_gpt_system"]
+
+
+def gpt_core(
+    x0, y0, x1, y1, x2, y2, x3, y3,
+    X0, Y0, X1, Y1, X2, Y2, X3, Y3,
+):
+    """Straight-line pivoted 8x8 Gauss-Jordan on scalar-like components.
+
+    The single-source twin of :func:`gpt_lu` for SoA layouts (Pallas tiles or
+    component-major jnp arrays): the 8x9 tableau lives as a Python list of
+    component arrays, the elimination order is static, and partial pivoting is
+    a branch-free bubble pass (per-lane row swaps via ``where``) — the TPU
+    answer to the reference's per-thread ``find_pivot``/``eliminate`` LU
+    (``GPU_Runtime Test.cu:242-357``).
+
+    Returns the 9 homography entries row-major, ``H[2,2] == 1``.
+    """
+    xs = (x0, x1, x2, x3)
+    ys = (y0, y1, y2, y3)
+    Xs = (X0, X1, X2, X3)
+    Ys = (Y0, Y1, Y2, Y3)
+    one = jnp.ones_like(x0)
+    zero = jnp.zeros_like(x0)
+
+    # Tableau rows [A | b]: x-constraints then y-constraints (see
+    # build_gpt_system).
+    t = [
+        [xs[i], ys[i], one, zero, zero, zero, -xs[i] * Xs[i],
+         -ys[i] * Xs[i], Xs[i]]
+        for i in range(4)
+    ] + [
+        [zero, zero, zero, xs[i], ys[i], one, -xs[i] * Ys[i],
+         -ys[i] * Ys[i], Ys[i]]
+        for i in range(4)
+    ]
+
+    for k in range(8):
+        # Partial pivoting: bubble the max-|pivot| row (per lane) into row k.
+        # Columns < k are already eliminated (exact zeros), so swaps only need
+        # columns k..8.
+        for r in range(k + 1, 8):
+            swap = jnp.abs(t[r][k]) > jnp.abs(t[k][k])
+            for c in range(k, 9):
+                a, b = t[k][c], t[r][c]
+                t[k][c] = jnp.where(swap, b, a)
+                t[r][c] = jnp.where(swap, a, b)
+        inv = 1.0 / t[k][k]
+        for c in range(k + 1, 9):
+            t[k][c] = t[k][c] * inv
+        t[k][k] = one
+        for r in range(8):
+            if r == k:
+                continue
+            f = t[r][k]
+            for c in range(k + 1, 9):
+                t[r][c] = t[r][c] - f * t[k][c]
+            t[r][k] = zero
+
+    return (t[0][8], t[1][8], t[2][8], t[3][8], t[4][8], t[5][8],
+            t[6][8], t[7][8], one)
 
 
 def build_gpt_system(src: Array, tar: Array):

@@ -21,10 +21,22 @@ import jax.numpy as jnp
 from jax import Array
 
 __all__ = [
+    "mm_highest",
     "jacobi_eigh",
+    "jacobi_smallest_col_core",
+    "smallest_eigvec3_core",
     "smallest_eigvec_sym",
     "solve_unrolled",
 ]
+
+
+def mm_highest(a: Array, b: Array) -> Array:
+    """f32-accurate matmul: TPU's default matmul precision truncates inputs
+    to bf16 on the MXU, which costs ~3 px of reprojection error through the
+    normalization/denormalization chains of the N>=4 solvers.  Every small
+    geometry contraction in this package goes through this (or an einsum with
+    ``precision='highest'``)."""
+    return jnp.matmul(a, b, precision="highest")
 
 
 def jacobi_eigh(a: Array, sweeps: int = 8):
@@ -110,7 +122,17 @@ def _smallest_eigvec_3x3(a: Array) -> Array:
     b = a - q[..., None, None] * jnp.eye(3, dtype=dtype)
     p2 = jnp.sum(b * b, axis=(-2, -1)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, jnp.finfo(dtype).tiny))
-    detb = jnp.linalg.det(b / p[..., None, None])
+    bn = b / p[..., None, None]
+    # Explicit 3x3 determinant (jnp.linalg.det lowers through dot_general,
+    # which truncates to bf16 under TPU's default matmul precision).
+    detb = (
+        bn[..., 0, 0] * (bn[..., 1, 1] * bn[..., 2, 2]
+                         - bn[..., 1, 2] * bn[..., 2, 1])
+        - bn[..., 0, 1] * (bn[..., 1, 0] * bn[..., 2, 2]
+                           - bn[..., 1, 2] * bn[..., 2, 0])
+        + bn[..., 0, 2] * (bn[..., 1, 0] * bn[..., 2, 1]
+                           - bn[..., 1, 1] * bn[..., 2, 0])
+    )
     # Clip strictly inside (-1, 1): arccos' gradient is infinite at the ends,
     # which would NaN the backward pass for exactly-degenerate eigenvalues.
     lim = 1.0 - 8 * jnp.finfo(dtype).eps
@@ -138,7 +160,8 @@ def _smallest_eigvec_3x3(a: Array) -> Array:
     # relative error at f64, which downstream denormalization (HO/NDLT)
     # amplifies by ~1e5.  (A - rho I)^{-1} v ∝ adj(A - rho I) v needs no
     # division and one step restores O(eps/gap) accuracy.
-    rho = jnp.einsum("...i,...ij,...j->...", vec, a, vec)
+    rho = jnp.einsum("...i,...ij,...j->...", vec, a, vec,
+                     precision="highest")
     b = a - rho[..., None, None] * jnp.eye(3, dtype=dtype)
     b00, b01, b02 = b[..., 0, 0], b[..., 0, 1], b[..., 0, 2]
     b11, b12, b22 = b[..., 1, 1], b[..., 1, 2], b[..., 2, 2]
@@ -150,7 +173,7 @@ def _smallest_eigvec_3x3(a: Array) -> Array:
         jnp.stack([b01 * b12 - b02 * b11, b01 * b02 - b00 * b12,
                    b00 * b11 - b01 * b01], axis=-1),
     ], axis=-2)
-    w = jnp.einsum("...ij,...j->...i", adj, vec)
+    w = jnp.einsum("...ij,...j->...i", adj, vec, precision="highest")
     wn2 = jnp.sum(w * w, axis=-1, keepdims=True)
     ok = wn2 > jnp.finfo(dtype).tiny
     w = w / jnp.sqrt(jnp.where(ok, wn2, 1.0))
@@ -176,6 +199,154 @@ def smallest_eigvec_sym(a: Array, method: str = "auto") -> Array:
         _, v = jnp.linalg.eigh(a)
         return v[..., :, 0]
     raise ValueError(f"unknown method {method!r}")
+
+
+def jacobi_smallest_col_core(a, sweeps: int = 8):
+    """Smallest eigenvector of a symmetric matrix given as component lists.
+
+    The lane-parallel twin of :func:`jacobi_eigh` for SoA layouts (Pallas
+    vector tiles or component-major jnp arrays): ``a`` is an n x n Python
+    list-of-lists of broadcastable array components, every rotation is
+    unrolled over the static (p, q) pairs, and the sweep loop is a
+    ``fori_loop`` whose carry is the flattened component tuple.  Each lane of
+    each component runs its own independent Jacobi — there is no cross-lane
+    traffic, which is what makes the 9x9 NDLT eigenproblem batchable at
+    RANSAC scale (the reference's per-thread Golub-Reinsch SVD,
+    ``GPU_Runtime Test.cu:527-785``, is the CUDA answer to the same problem).
+
+    Returns the eigenvector column (tuple of n components) for the smallest
+    eigenvalue, branch-free min-diagonal selection.
+    """
+    n = len(a)
+    dtype = a[0][0].dtype
+    one = jnp.ones_like(a[0][0])
+    zero = jnp.zeros_like(a[0][0])
+    v = [[one if i == j else zero for j in range(n)] for i in range(n)]
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def flat(m):
+        return tuple(m[i][j] for i in range(n) for j in range(n))
+
+    def unflat(t):
+        return [[t[i * n + j] for j in range(n)] for i in range(n)]
+
+    def sweep(_, carry):
+        a_ = unflat(carry[0])
+        v_ = unflat(carry[1])
+        for p in range(n):
+            for q in range(p + 1, n):
+                app, aqq, apq = a_[p][p], a_[q][q], a_[p][q]
+                # Overflow-free rotation; see the jacobi_eigh derivation.
+                tau = (aqq - app) * 0.5
+                sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(dtype)
+                hyp = jnp.sqrt(tau * tau + apq * apq + tiny)
+                t = sgn * apq / (sgn * tau + hyp)
+                c = 1.0 / jnp.sqrt(t * t + 1.0)
+                s = t * c
+                for j in range(n):
+                    rp, rq = a_[p][j], a_[q][j]
+                    a_[p][j] = c * rp - s * rq
+                    a_[q][j] = s * rp + c * rq
+                for i in range(n):
+                    cp, cq = a_[i][p], a_[i][q]
+                    a_[i][p] = c * cp - s * cq
+                    a_[i][q] = s * cp + c * cq
+                    vp, vq = v_[i][p], v_[i][q]
+                    v_[i][p] = c * vp - s * vq
+                    v_[i][q] = s * vp + c * vq
+        return (flat(a_), flat(v_))
+
+    a_f, v_f = jax.lax.fori_loop(0, sweeps, sweep, (flat(a), flat(v)))
+    a_ = unflat(a_f)
+    v_ = unflat(v_f)
+
+    best_w = a_[0][0]
+    best = [v_[i][0] for i in range(n)]
+    for j in range(1, n):
+        take = a_[j][j] < best_w
+        best_w = jnp.where(take, a_[j][j], best_w)
+        best = [jnp.where(take, v_[i][j], best[i]) for i in range(n)]
+    return tuple(best)
+
+
+def smallest_eigvec3_core(a00, a01, a02, a11, a12, a22):
+    """Closed-form smallest eigenvector of symmetric 3x3 on components.
+
+    The component-form twin of ``_smallest_eigvec_3x3`` (same math:
+    trigonometric eigenvalue, largest row-cross eigenvector, one
+    Rayleigh-shifted adjugate inverse-iteration step), for SoA layouts.
+    Returns (v0, v1, v2), unit norm.
+    """
+    dtype = a00.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    third = jnp.asarray(1.0 / 3.0, dtype)
+
+    q = (a00 + a11 + a22) * third
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, tiny))
+    inv_p = 1.0 / p
+    # det(B / p) with B = A - q I.
+    detb = (
+        (b00 * inv_p) * ((b11 * inv_p) * (b22 * inv_p)
+                         - (a12 * inv_p) * (a12 * inv_p))
+        - (a01 * inv_p) * ((a01 * inv_p) * (b22 * inv_p)
+                           - (a12 * inv_p) * (a02 * inv_p))
+        + (a02 * inv_p) * ((a01 * inv_p) * (a12 * inv_p)
+                           - (b11 * inv_p) * (a02 * inv_p))
+    )
+    lim = jnp.asarray(1.0 - 8 * jnp.finfo(dtype).eps, dtype)
+    r = jnp.clip(detb * 0.5, -lim, lim)
+    phi = jnp.arccos(r) * third
+    lam = q + 2.0 * p * jnp.cos(phi + jnp.asarray(2.0 * jnp.pi / 3.0, dtype))
+
+    m00, m11, m22 = a00 - lam, a11 - lam, a22 - lam
+    # Rows of A - lam I; candidate eigenvectors are their pairwise crosses.
+    r0 = (m00, a01, a02)
+    r1 = (a01, m11, a12)
+    r2 = (a02, a12, m22)
+
+    def cross(u, w):
+        return (u[1] * w[2] - u[2] * w[1],
+                u[2] * w[0] - u[0] * w[2],
+                u[0] * w[1] - u[1] * w[0])
+
+    def norm2(u):
+        return u[0] * u[0] + u[1] * u[1] + u[2] * u[2]
+
+    best = cross(r0, r1)
+    best_n = norm2(best)
+    for cand in (cross(r0, r2), cross(r1, r2)):
+        cn = norm2(cand)
+        take = cn > best_n
+        best = tuple(jnp.where(take, cand[i], best[i]) for i in range(3))
+        best_n = jnp.where(take, cn, best_n)
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(best_n, tiny))
+    v0, v1, v2 = best[0] * inv_n, best[1] * inv_n, best[2] * inv_n
+
+    # One Rayleigh-shifted adjugate inverse-iteration step (restores
+    # O(eps/gap) accuracy lost to the trigonometric eigenvalue's sqrt(eps)
+    # worst case; see _smallest_eigvec_3x3).
+    rho = (v0 * (a00 * v0 + a01 * v1 + a02 * v2)
+           + v1 * (a01 * v0 + a11 * v1 + a12 * v2)
+           + v2 * (a02 * v0 + a12 * v1 + a22 * v2))
+    c00, c11, c22 = a00 - rho, a11 - rho, a22 - rho
+    adj00 = c11 * c22 - a12 * a12
+    adj01 = a02 * a12 - a01 * c22
+    adj02 = a01 * a12 - a02 * c11
+    adj11 = c00 * c22 - a02 * a02
+    adj12 = a01 * a02 - c00 * a12
+    adj22 = c00 * c11 - a01 * a01
+    w0 = adj00 * v0 + adj01 * v1 + adj02 * v2
+    w1 = adj01 * v0 + adj11 * v1 + adj12 * v2
+    w2 = adj02 * v0 + adj12 * v1 + adj22 * v2
+    wn2 = w0 * w0 + w1 * w1 + w2 * w2
+    ok = wn2 > tiny
+    inv_w = 1.0 / jnp.sqrt(jnp.where(ok, wn2, 1.0))
+    return (jnp.where(ok, w0 * inv_w, v0),
+            jnp.where(ok, w1 * inv_w, v1),
+            jnp.where(ok, w2 * inv_w, v2))
 
 
 def solve_unrolled(a: Array, b: Array, pivot: bool = False) -> Array:
@@ -204,7 +375,8 @@ def solve_unrolled(a: Array, b: Array, pivot: bool = False) -> Array:
             col = jnp.abs(t[..., k:, k])
             rel = jnp.argmax(col, axis=-1)
             sel = jax.nn.one_hot(rel + k, n, dtype=t.dtype)
-            pivrow = jnp.einsum("...r,...rc->...c", sel, t)
+            pivrow = jnp.einsum("...r,...rc->...c", sel, t,
+                                precision="highest")
             # Replace the selected row with row k (swap), branch-free.
             rowk = t[..., k, :]
             t = t + sel[..., :, None] * (rowk[..., None, :] - pivrow[..., None, :])

@@ -14,9 +14,103 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-from sks_tpu.ops.linalg import jacobi_eigh, smallest_eigvec_sym
+from sks_tpu.ops.linalg import (
+    jacobi_eigh,
+    jacobi_smallest_col_core,
+    mm_highest as _mm,
+    smallest_eigvec_sym,
+)
 
-__all__ = ["ndlt", "ndlt_h"]
+__all__ = ["ndlt", "ndlt_core", "ndlt_h"]
+
+
+def ndlt_core(
+    x0, y0, x1, y1, x2, y2, x3, y3,
+    X0, Y0, X1, Y1, X2, Y2, X3, Y3,
+    sweeps: int = 8,
+):
+    """Straight-line minimal-set (N=4) NDLT on components.
+
+    Single source for SoA layouts (Pallas tiles / component-major arrays).
+    Exploits the DLT normal matrix's block structure: with per-point
+    ``p = (x, y, 1)`` and constraint rows ``[p, 0, -X'p]``, ``[0, p, -Y'p]``,
+
+        LtL = [[S1, 0, Sx], [0, S1, Sy], [Sx, Sy, Sd]]
+
+    where each 3x3 block is a weighted sum of ``p p^T`` with weights
+    ``1, -X', -Y', X'^2 + Y'^2`` — 24 scalar sums total instead of a dense
+    8x9 stacking.  The smallest eigenvector comes from the lane-parallel
+    fixed-sweep Jacobi (:func:`jacobi_smallest_col_core`); same math as
+    :func:`ndlt_h` at N=4, unweighted.  Returns 9 entries row-major, up to
+    scale.
+    """
+    dtype = x0.dtype
+    quarter = jnp.asarray(0.25, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def hartley(xs, ys):
+        cx = (xs[0] + xs[1] + xs[2] + xs[3]) * quarter
+        cy = (ys[0] + ys[1] + ys[2] + ys[3]) * quarter
+        dx = [x - cx for x in xs]
+        dy = [y - cy for y in ys]
+        devx = sum(jnp.abs(d) for d in dx) * quarter
+        devy = sum(jnp.abs(d) for d in dy) * quarter
+        sx = 1.0 / jnp.maximum(devx, tiny)
+        sy = 1.0 / jnp.maximum(devy, tiny)
+        return ([d * sx for d in dx], [d * sy for d in dy],
+                cx, cy, sx, sy)
+
+    nx, ny, cx1, cy1, sx1, sy1 = hartley((x0, x1, x2, x3), (y0, y1, y2, y3))
+    tx, ty, cx2, cy2, sx2, sy2 = hartley((X0, X1, X2, X3), (Y0, Y1, Y2, Y3))
+
+    def wsum_ppt(w):
+        """Weighted sums of the 6 unique p p^T entries over the 4 points."""
+        return (
+            sum(w[i] * nx[i] * nx[i] for i in range(4)),  # xx
+            sum(w[i] * nx[i] * ny[i] for i in range(4)),  # xy
+            sum(w[i] * nx[i] for i in range(4)),          # x
+            sum(w[i] * ny[i] * ny[i] for i in range(4)),  # yy
+            sum(w[i] * ny[i] for i in range(4)),          # y
+            sum(w[i] for i in range(4)),                  # 1
+        )
+
+    ones = [jnp.ones_like(x0)] * 4
+    s1 = wsum_ppt(ones)
+    sx_ = wsum_ppt([-t for t in tx])
+    sy_ = wsum_ppt([-t for t in ty])
+    sd = wsum_ppt([tx[i] * tx[i] + ty[i] * ty[i] for i in range(4)])
+
+    def block(e):
+        xx, xy, x, yy, y, o = e
+        return [[xx, xy, x], [xy, yy, y], [x, y, o]]
+
+    z = jnp.zeros_like(x0)
+    zb = [[z] * 3 for _ in range(3)]
+    b1, bx, by, bd = block(s1), block(sx_), block(sy_), block(sd)
+    ltl = [
+        [*b1[r], *zb[r], *bx[r]] for r in range(3)
+    ] + [
+        [*zb[r], *b1[r], *by[r]] for r in range(3)
+    ] + [
+        [*bx[r], *by[r], *bd[r]] for r in range(3)
+    ]
+
+    h = jacobi_smallest_col_core(ltl, sweeps=sweeps)
+
+    # Denormalize: H = T2^{-1} Hn T1 (anisotropic Hartley T's).
+    rows_t1 = []
+    for r in range(3):
+        h0, h1, h2 = h[3 * r], h[3 * r + 1], h[3 * r + 2]
+        rows_t1.append(
+            (h0 * sx1, h1 * sy1, h2 - h0 * sx1 * cx1 - h1 * sy1 * cy1)
+        )
+    inv_sx2 = 1.0 / sx2
+    inv_sy2 = 1.0 / sy2
+    out0 = tuple(rows_t1[0][c] * inv_sx2 + cx2 * rows_t1[2][c]
+                 for c in range(3))
+    out1 = tuple(rows_t1[1][c] * inv_sy2 + cy2 * rows_t1[2][c]
+                 for c in range(3))
+    return (*out0, *out1, *rows_t1[2])
 
 
 def _hartley(pts: Array, w: Array):
@@ -67,7 +161,8 @@ def ndlt_h(
     )
     a = jnp.concatenate([rows_x, rows_y], axis=-2)  # (..., 2N, 9)
     w2 = jnp.concatenate([weights, weights], axis=-1)
-    ltl = jnp.einsum("...np,...n,...nq->...pq", a, w2, a)
+    ltl = jnp.einsum("...np,...n,...nq->...pq", a, w2, a,
+                     precision="highest")
 
     if eig_method == "jacobi":
         _, v = jacobi_eigh(ltl)
@@ -79,7 +174,7 @@ def ndlt_h(
     # Denormalize: H = T2^{-1} @ Hn @ T1 with T = [[sx,0,-sx cx],[0,sy,-sy cy],[0,0,1]].
     t1 = _t_matrix(cx1, cy1, sx1, sy1)
     t2inv = _t_inv_matrix(cx2, cy2, sx2, sy2)
-    return t2inv @ hm @ t1
+    return _mm(_mm(t2inv, hm), t1)
 
 
 def _t_matrix(cx, cy, sx, sy):

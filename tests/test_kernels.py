@@ -114,3 +114,60 @@ def test_pallas_chain_dependency_is_noop(soa_inputs):
         h0 = aca_solve_soa(s_soa, t_soa, tile=1)
         h1 = aca_solve_soa(s_soa, t_soa, chain=jnp.float32(123.0), tile=1)
     assert np.allclose(np.asarray(h0), np.asarray(h1))
+
+
+@pytest.mark.parametrize("name", ["rho_ge", "gpt_lu", "ho", "ndlt"])
+def test_baseline_cores_match_aos_ops(key, name):
+    """Component cores == the AoS ops they single-source (f64, exact math)."""
+    from sks_tpu.ops import SOLVERS_H
+    from sks_tpu.ops.ge import ge_core
+    from sks_tpu.ops.gpt import gpt_core
+    from sks_tpu.ops.ho import ho_core
+    from sks_tpu.ops.ndlt import ndlt_core
+
+    core = {"rho_ge": ge_core, "gpt_lu": gpt_core, "ho": ho_core,
+            "ndlt": ndlt_core}[name]
+    src, tar = jit_of(lambda k: random_quad_pairs(k, 64, jnp.float64))(key)
+
+    def comps(p):
+        return [p.reshape(-1, 8)[:, i] for i in range(8)]
+
+    hc = jit_of(
+        lambda s, t: jnp.stack(core(*comps(s), *comps(t)), -1).reshape(-1, 3, 3)
+    )(src, tar)
+    ha = jit_of(SOLVERS_H[name])(src, tar)
+    a = np.asarray(normalize_h(hc, "fro"))
+    b = np.asarray(normalize_h(ha, "fro"))
+    assert np.allclose(a, b, atol=1e-9), np.max(np.abs(a - b))
+
+
+@pytest.mark.parametrize("name", ["rho_ge", "gpt_lu", "ho", "ndlt"])
+def test_baseline_pallas_matches_aos(soa_inputs, name):
+    """SoA Pallas baseline kernels == AoS ops (interpret mode, f32)."""
+    from sks_tpu.kernels.baselines_pallas import SOA_SOLVERS
+    from sks_tpu.ops import SOLVERS_H
+
+    src, tar, s_soa, t_soa = soa_inputs
+    with pltpu.force_tpu_interpret_mode():
+        hk = from_soa_h(SOA_SOLVERS[name](s_soa, t_soa, tile=1))
+    a = np.asarray(normalize_h(hk, "fro"))
+    b = np.asarray(normalize_h(jit_of(SOLVERS_H[name])(src, tar), "fro"))
+    # f32 path differences (op order, eigensolver iteration count) bound the
+    # tolerance; oracle-grade accuracy is asserted separately below.
+    assert np.allclose(a, b, atol=2e-3), np.max(np.abs(a - b))
+
+
+@pytest.mark.parametrize("name", ["rho_ge", "gpt_lu", "ho", "ndlt"])
+def test_baseline_pallas_oracle(key, name):
+    """SoA Pallas baselines recover exact homographies (sub-millipixel)."""
+    from sks_tpu.geom.homography import apply_homography
+    from sks_tpu.kernels.baselines_pallas import SOA_SOLVERS
+    from sks_tpu.utils.synth import random_correspondences
+
+    src, tar, _ = jit_of(
+        lambda k: random_correspondences(k, (128,), 4, 0.0, jnp.float32)
+    )(key)
+    with pltpu.force_tpu_interpret_mode():
+        hk = from_soa_h(SOA_SOLVERS[name](to_soa(src), to_soa(tar), tile=1))
+    r = float(jnp.max(jnp.abs(apply_homography(hk, src) - tar)))
+    assert r < 5e-3, r
