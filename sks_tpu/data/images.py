@@ -1,0 +1,198 @@
+"""Photometric planar image synthesis: textured planes under exact homographies.
+
+The reference grounds every harness in one real wall scene's SIFT matches
+(``CPU_Runtime Test/orig_pts_wall.txt``, sampled by ``main.cpp:21-30`` and
+``GPU_Runtime Test.cu:52-78``).  Copying that data is off the table, and this
+environment has no network, so the real-image role is filled the synthesis
+way: a procedurally textured plane is *rendered* under exact plane-induced
+homographies with photometric nuisances (gain/bias/gamma, sensor noise,
+blur), and the feature pipeline runs on the **pixels** — matches are
+image-derived, never sampled from ground truth.  Ground truth H/poses remain
+available for honest scoring (HPatches-style planar pairs with exact GT).
+
+All functions are jittable and seeded; nothing is stored on disk.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from sks_tpu.features.descriptors import bilinear_sample
+from sks_tpu.geom.homography import apply_homography, homography_from_pose
+
+__all__ = [
+    "plane_texture",
+    "warp_image",
+    "photometric_jitter",
+    "planar_pair",
+    "planar_sequence",
+]
+
+
+def plane_texture(key: Array, shape: tuple = (480, 640), octaves: int = 5,
+                  dtype=jnp.float32) -> Array:
+    """Multi-octave value-noise texture with corner-rich structure in [0, 1].
+
+    Octave 0 is thresholded into high-contrast cells (brick/mondrian-like
+    edges and corners for the detector); finer octaves add texture the
+    descriptors can discriminate.
+    """
+    h, w = shape
+    keys = jax.random.split(key, octaves + 1)
+    img = jnp.zeros(shape, dtype)
+    amp = 1.0
+    total = 0.0
+    for o in range(octaves):
+        gh = max(2, (h // 64) * (2 ** o))
+        gw = max(2, (w // 64) * (2 ** o))
+        grid = jax.random.uniform(keys[o], (gh, gw), dtype)
+        up = jax.image.resize(grid, shape, "linear")
+        if o == 0:
+            # Quantize the coarsest octave: sharp edges, strong corners.
+            up = jnp.round(up * 4.0) / 4.0
+            layer_amp = 1.5
+        else:
+            layer_amp = amp
+        img = img + layer_amp * up
+        total += layer_amp
+        amp *= 0.55
+    img = img / total
+    lo, hi = jnp.min(img), jnp.max(img)
+    return (img - lo) / jnp.maximum(hi - lo, 1e-6)
+
+
+def warp_image(img: Array, h_mat: Array, out_shape: tuple | None = None,
+               fill: float = 0.5) -> Array:
+    """Render the view of ``img`` under homography ``h_mat``.
+
+    ``h_mat`` maps source pixels -> output pixels (the GT direction used
+    everywhere else); rendering inverse-warps: out(x') = img(H^{-1} x').
+    Out-of-source pixels get ``fill``.
+    """
+    if out_shape is None:
+        out_shape = img.shape[-2:]
+    hh, ww = out_shape
+    hi = jnp.linalg.inv(h_mat)
+    ys = jnp.arange(hh, dtype=img.dtype)
+    xs = jnp.arange(ww, dtype=img.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    pts = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+    src = apply_homography(hi, pts)
+    vals = bilinear_sample(img, src)
+    h0, w0 = img.shape[-2:]
+    inside = (
+        (src[:, 0] >= 0.0) & (src[:, 0] <= w0 - 1.0)
+        & (src[:, 1] >= 0.0) & (src[:, 1] <= h0 - 1.0)
+    )
+    vals = jnp.where(inside, vals, fill)
+    return vals.reshape(hh, ww)
+
+
+def photometric_jitter(key: Array, img: Array, noise: float = 0.01,
+                       max_gain: float = 0.25, max_bias: float = 0.1) -> Array:
+    """Sensor-style nuisances: gain/bias, gamma, additive Gaussian noise."""
+    kg, kb, kgam, kn = jax.random.split(key, 4)
+    gain = 1.0 + jax.random.uniform(kg, (), img.dtype, -max_gain, max_gain)
+    bias = jax.random.uniform(kb, (), img.dtype, -max_bias, max_bias)
+    gamma = jnp.exp(jax.random.uniform(kgam, (), img.dtype, -0.2, 0.2))
+    x = jnp.clip(img * gain + bias, 0.0, 1.0) ** gamma
+    x = x + noise * jax.random.normal(kn, img.shape, img.dtype)
+    return jnp.clip(x, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
+                max_angle: float = 0.15, max_shift: float = 0.25,
+                noise: float = 0.01):
+    """One HPatches-style planar pair: (img1, img2, H_true 1->2 pixels).
+
+    img1 is a fronto-parallel view of the textured plane; img2 the same plane
+    from a perturbed camera (exact plane-induced homography), with independent
+    photometric jitter on both views.
+    """
+    from sks_tpu.utils.synth import random_rotation
+
+    kt, kr, ks, kp1, kp2 = jax.random.split(key, 5)
+    h, w = shape
+    k_mat = jnp.asarray(
+        [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    r = random_rotation(kr, (), max_angle, jnp.float32)
+    t = jax.random.uniform(ks, (3,), jnp.float32, -max_shift, max_shift)
+    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    d = jnp.asarray(3.0, jnp.float32)
+    h_true = homography_from_pose(k_mat, k_mat, r, t, n, d)
+    base = plane_texture(kt, shape)
+    img1 = photometric_jitter(kp1, base, noise)
+    img2 = photometric_jitter(kp2, warp_image(base, h_true), noise)
+    return img1, img2, h_true
+
+
+@partial(jax.jit, static_argnames=("shape", "num_frames"))
+def planar_sequence(key: Array, num_frames: int = 16,
+                    shape: tuple = (240, 320), focal: float = 300.0,
+                    noise: float = 0.005):
+    """A camera orbiting over a textured plane: frames + GT poses.
+
+    Smooth trajectory (lateral sweep with gentle yaw); every frame is a
+    render of the same plane texture under the exact pose-induced
+    homography.  Returns (frames (T, H, W), poses_gt (T, 4, 4) cam->world,
+    k_mat (3, 3)) with the plane at z = d in frame 0 (d = 3).
+    """
+    from sks_tpu.utils.synth import random_rotation
+
+    kt, kp, kn0 = jax.random.split(key, 3)
+    h, w = shape
+    k_mat = jnp.asarray(
+        [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    d = jnp.asarray(3.0, jnp.float32)
+    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    base = plane_texture(kt, shape)
+
+    ts = jnp.arange(num_frames, dtype=jnp.float32) / max(num_frames - 1, 1)
+    # Lateral sweep + slight push-in + gentle yaw/roll ramp.
+    tx = 0.8 * ts
+    ty = 0.2 * jnp.sin(ts * jnp.pi)
+    tz = 0.15 * ts
+    yaw = 0.12 * ts
+    roll = 0.06 * jnp.sin(ts * 2 * jnp.pi)
+
+    def rot(yaw_i, roll_i):
+        cy, sy = jnp.cos(yaw_i), jnp.sin(yaw_i)
+        cr, sr = jnp.cos(roll_i), jnp.sin(roll_i)
+        ry = jnp.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], jnp.float32)
+        rz = jnp.asarray([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], jnp.float32)
+        return ry @ rz
+
+    def frame(i):
+        r = rot(yaw[i], roll[i])
+        t = jnp.stack([tx[i], ty[i], tz[i]])
+        # World (= frame-0 camera) -> camera i: X_c = R X_w + t.
+        h_i = homography_from_pose(k_mat, k_mat, r, t, n, d)
+        img = warp_image(base, h_i)
+        img = photometric_jitter(jax.random.fold_in(kn0, i), img, noise)
+        top = jnp.concatenate([r, t[:, None]], axis=-1)
+        g = jnp.concatenate(
+            [top, jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)], axis=0
+        )
+        return img, g
+
+    frames, g_w2c = jax.vmap(frame)(jnp.arange(num_frames))
+    # cam->world poses for ATE: inverse of world->cam.
+    r = g_w2c[:, :3, :3]
+    t = g_w2c[:, :3, 3]
+    rt = jnp.swapaxes(r, -1, -2)
+    ti = -jnp.einsum("...ij,...j->...i", rt, t, precision="highest")
+    top = jnp.concatenate([rt, ti[..., None]], axis=-1)
+    bot = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32), (num_frames, 1, 4)
+    )
+    poses = jnp.concatenate([top, bot], axis=-2)
+    return frames, poses, k_mat

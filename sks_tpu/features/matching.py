@@ -8,10 +8,13 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from sks_tpu.features.descriptors import patch_descriptors
-from sks_tpu.features.harris import detect_corners
+from sks_tpu.features.descriptors import (
+    oriented_patch_descriptors,
+    patch_descriptors,
+)
+from sks_tpu.features.harris import detect_corners, detect_corners_pyramid
 
-__all__ = ["match_descriptors", "match_frames"]
+__all__ = ["match_descriptors", "match_frames", "match_frames_oriented"]
 
 
 @partial(jax.jit, static_argnames=("ratio",))
@@ -71,3 +74,28 @@ def match_frames(img1: Array, img2: Array, num_corners: int = 512,
     idx2, valid = match_descriptors(d1, d2, v1, v2)
     pts2 = jnp.take(xy2, idx2, axis=0)
     return xy1, pts2, valid
+
+
+@partial(jax.jit, static_argnames=("num_corners", "num_octaves", "patch",
+                                   "ratio"))
+def match_frames_oriented(
+    img1: Array, img2: Array, num_corners: int = 512, num_octaves: int = 3,
+    patch: int = 8, ratio: float = 0.9,
+):
+    """Rotation/scale-robust detect->describe->match between two frames.
+
+    Octave-pyramid Harris + ORB-oriented, scale-adapted patch descriptors —
+    the configuration that survives real image pairs with camera roll/zoom
+    (plain :func:`match_frames` is cheaper for small-baseline tracking).
+
+    Returns (pts1 (K, 2), pts2 (K, 2), valid (K,), quality (K,)) — quality is
+    the match similarity, usable as the PROSAC sort key.
+    """
+    xy1, _, v1, s1 = detect_corners_pyramid(img1, num_corners, num_octaves)
+    xy2, _, v2, s2 = detect_corners_pyramid(img2, num_corners, num_octaves)
+    d1, _ = oriented_patch_descriptors(img1, xy1, scale=s1, patch=patch)
+    d2, _ = oriented_patch_descriptors(img2, xy2, scale=s2, patch=patch)
+    idx2, valid = match_descriptors(d1, d2, v1, v2, ratio)
+    pts2 = jnp.take(xy2, idx2, axis=0)
+    quality = jnp.sum(d1 * jnp.take(d2, idx2, axis=0), axis=-1)
+    return xy1, pts2, valid, quality

@@ -65,6 +65,7 @@ def vo_trajectory(
     plane_depth: float = 1.0,
     smooth: bool = False,
     plane_normal: Array | None = None,
+    point_mask: Array | None = None,
 ):
     """Trajectory from per-pair correspondences.
 
@@ -76,6 +77,8 @@ def vo_trajectory(
       smooth: run pose-graph relaxation over the chained trajectory.
       plane_normal: approximate plane normal in the camera frame (default
         frontal, (0,0,1)) — resolves the homography twofold ambiguity.
+      point_mask: optional (T-1, N) validity for padded fixed-shape match
+        arrays (what a real matcher emits) — masked points never score.
 
     Returns:
       dict: poses (T, 4, 4) cam->world, rel (T-1, 4, 4), num_inliers (T-1,).
@@ -87,14 +90,16 @@ def vo_trajectory(
     if plane_normal is None:
         plane_normal = jnp.asarray([0.0, 0.0, 1.0], pts1.dtype)
 
-    def fit_one(k, p1, p2):
-        res = ransac_homography(k, p1, p2, config)
+    def fit_one(k, p1, p2, pm):
+        res = ransac_homography(k, p1, p2, config, point_mask=pm)
         r, t, n, score = recover_pose(
             res.h, k_mat, k_mat, p1, p2, normal_prior=plane_normal
         )
         return r, t, n, res.num_inliers
 
-    r, t_over_d, n, ninl = jax.vmap(fit_one)(keys, pts1, pts2)
+    pm = (jnp.ones(pts1.shape[:-1], bool) if point_mask is None
+          else point_mask)
+    r, t_over_d, n, ninl = jax.vmap(fit_one)(keys, pts1, pts2, pm)
 
     # Monocular scale: the homography yields t/d with d the *current* plane
     # depth.  Track d along the chain: in cam_{i+1} coords the plane is

@@ -61,3 +61,70 @@ def test_end_to_end_homography_from_images():
     assert abs(h[0, 2] - (-9.0)) < 0.5, h  # x' = x - 9
     assert abs(h[1, 2] - (-5.0)) < 0.5, h
     assert abs(h[0, 0] - 1.0) < 0.01
+
+
+def test_oriented_descriptors_rotation_invariant():
+    """Oriented descriptors of a rotated view match the unrotated ones;
+    axis-aligned descriptors do not (the VERDICT r1 weak-#5 upgrade)."""
+    from sks_tpu.data.images import plane_texture, warp_image
+    from sks_tpu.features.descriptors import oriented_patch_descriptors
+
+    img = plane_texture(jax.random.PRNGKey(3), (192, 192))
+    ang = 0.6  # ~34 degrees of camera roll
+    c, s = float(jnp.cos(ang)), float(jnp.sin(ang))
+    cx = cy = 96.0
+    h_rot = jnp.asarray(
+        [[c, -s, cx - c * cx + s * cy],
+         [s, c, cy - s * cx - c * cy],
+         [0.0, 0.0, 1.0]], jnp.float32)
+    img2 = warp_image(img, h_rot)
+
+    xy1, _, v1 = detect_corners(img, 128, border=32)
+    from sks_tpu.geom.homography import apply_homography
+    xy2 = apply_homography(h_rot, xy1)  # same physical points, rotated view
+
+    d1o, _ = oriented_patch_descriptors(img, xy1)
+    d2o, _ = oriented_patch_descriptors(img2, xy2)
+    sim_oriented = jnp.sum(d1o * d2o, axis=-1)
+
+    d1a = patch_descriptors(img, xy1)
+    d2a = patch_descriptors(img2, xy2)
+    sim_axis = jnp.sum(d1a * d2a, axis=-1)
+
+    med_o = float(jnp.median(sim_oriented[v1]))
+    med_a = float(jnp.median(sim_axis[v1]))
+    assert med_o > 0.8, (med_o, med_a)
+    assert med_o > med_a + 0.15, (med_o, med_a)
+
+
+def test_pyramid_detects_coarse_corners():
+    """2x-magnified structure is found at octave 1 with scale annotation."""
+    from sks_tpu.features.harris import detect_corners_pyramid
+
+    img = _checker(256, cell=64)  # huge cells: corners live at coarse scale
+    xy, score, valid, scale = detect_corners_pyramid(img, 64, num_octaves=3,
+                                                     border=8)
+    assert int(valid.sum()) >= 9
+    assert float(scale[valid].max()) >= 2.0  # some picked beyond octave 0
+
+
+def test_planar_pair_end_to_end_ransac():
+    """Rendered pair -> oriented matches -> RANSAC recovers the GT H."""
+    from sks_tpu.data.images import planar_pair
+    from sks_tpu.features.matching import match_frames_oriented
+    from sks_tpu.geom.homography import apply_homography
+    from sks_tpu.robust import find_homography
+
+    img1, img2, h_true = planar_pair(jax.random.PRNGKey(11), (240, 320))
+    p1, p2, valid, _ = match_frames_oriented(img1, img2, 384, 3)
+    a = jnp.asarray(np.asarray(p1)[np.asarray(valid)])
+    b = jnp.asarray(np.asarray(p2)[np.asarray(valid)])
+    assert a.shape[0] >= 30, a.shape
+    h, mask = find_homography(a, b, ransac_reproj_threshold=3.0,
+                              max_iters=1024)
+    corners = jnp.asarray([[0.0, 0.0], [320.0, 0.0], [0.0, 240.0],
+                           [320.0, 240.0]])
+    err = float(jnp.max(jnp.linalg.norm(
+        apply_homography(h, corners) - apply_homography(h_true, corners),
+        axis=-1)))
+    assert err < 3.0, err
