@@ -118,10 +118,20 @@ def aca_h_pallas(src: Array, tar: Array) -> Array:
     return from_soa_h(h)
 
 
-def _solve_score_kernel(pts_ref, thr_ref, src_ref, tar_ref, score_ref,
-                        *, n_points):
-    # pts_ref: (4*N,) flattened [xs, ys, x's, y's] in SMEM — scalar memory is
-    # the only space Mosaic allows dynamically-indexed per-point loads from.
+def _solve_score_kernel(thr_ref, pts_ref, w_ref, src_ref, tar_ref, score_ref,
+                        *, point_block, scoring):
+    # Grid is (hypothesis tiles, point blocks) with the point axis minor: the
+    # score block stays VMEM-resident while point blocks stream through SMEM
+    # (scalar memory — the only space Mosaic allows dynamically-indexed
+    # per-point loads from), so N is unbounded.  src/tar block indices are
+    # invariant along the point axis (no re-DMA); the 97-flop solve is
+    # recomputed per point block, which is noise next to 36 flops x block.
+    j_block = pl.program_id(1)
+
+    @pl.when(j_block == 0)
+    def _():
+        score_ref[...] = jnp.zeros_like(score_ref)
+
     s = [src_ref[i] for i in range(8)]
     t = [tar_ref[i] for i in range(8)]
     h00, h01, h02, h10, h11, h12, h20, h21, h22 = aca_core(*s, *t)
@@ -139,13 +149,14 @@ def _solve_score_kernel(pts_ref, thr_ref, src_ref, tar_ref, score_ref,
     i22 = h00 * h11 - h01 * h10
 
     shape = s[0].shape
-    score = jnp.zeros(shape, jnp.float32)
+    acc = jnp.zeros(shape, jnp.float32)
 
-    def body(j, score):
-        x = pts_ref[j]
-        y = pts_ref[n_points + j]
-        xp = pts_ref[2 * n_points + j]
-        yp = pts_ref[3 * n_points + j]
+    def body(j, acc):
+        x = pts_ref[0, j]
+        y = pts_ref[1, j]
+        xp = pts_ref[2, j]
+        yp = pts_ref[3, j]
+        pw = w_ref[0, j]
         # Forward transfer.
         w = h20 * x + h21 * y + h22
         inv_w = 1.0 / w
@@ -158,53 +169,97 @@ def _solve_score_kernel(pts_ref, thr_ref, src_ref, tar_ref, score_ref,
         dxr = (i00 * xp + i01 * yp + i02) * inv_wr - x
         dyr = (i10 * xp + i11 * yp + i12) * inv_wr - y
         r2 = r2 + dxr * dxr + dyr * dyr
-        good = (r2 < t2) & (w != 0.0) & (wr != 0.0)
-        return score + good.astype(jnp.float32)
+        finite = (w != 0.0) & (wr != 0.0)
+        # All gains gate on r2 < t2 via where: NaN residuals (0 * inf in a
+        # degenerate transfer) compare False and score 0, never propagate.
+        inl = r2 < t2
+        if scoring == "inliers":
+            gain = inl.astype(jnp.float32)
+        elif scoring == "msac":
+            gain = jnp.where(inl, 1.0 - r2 / t2, 0.0)
+        elif scoring == "magsac":
+            # t2 carries (k * sigma_max)^2 here; the sigma-marginalized
+            # weight is (1 - r / (k sigma_max))^2 clipped to [0, 1]
+            # (robust.ransac.magsac_weights) — zero exactly when r2 >= t2.
+            rr = jnp.sqrt(jnp.maximum(r2, 0.0) / t2)
+            g = 1.0 - rr
+            gain = jnp.where(inl, g * g, 0.0)
+        else:
+            raise ValueError(scoring)
+        return acc + jnp.where(finite, gain, 0.0) * pw
 
-    score = jax.lax.fori_loop(0, n_points, body, score)
-    score_ref[0] = score
+    acc = jax.lax.fori_loop(0, point_block, body, acc)
+    score_ref[...] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit,
+                   static_argnames=("scoring", "tile", "point_block"))
 def aca_solve_score_soa(
-    src: Array, tar: Array, pts: Array, threshold: Array, tile: int = 256
+    src: Array, tar: Array, pts: Array, threshold: Array,
+    point_weights: Array | None = None, scoring: str = "inliers",
+    tile: int = 256, point_block: int = 2048,
 ) -> Array:
-    """Fused ACA solve + symmetric-transfer inlier count.
+    """Fused ACA solve + symmetric-transfer RANSAC scoring.
+
+    Every hypothesis is solved *and* scored against all N correspondences in
+    one VMEM-resident kernel; only 4 B/hypothesis of score reaches HBM.
+    Points stream through SMEM in blocks of ``point_block`` along a second
+    grid axis, so N is unbounded; ``point_weights`` supports padded point
+    sets (weight 0) and soft weighting.
 
     Args:
       src, tar: (8, M, 128) SoA minimal sets.
-      pts: (4, N) correspondence set rows [x, y, x', y'] — lives in SMEM
-        (scalar memory), so keep N <= ~2048.
-      threshold: scalar — squared pixel threshold on the *sum* of forward and
-        reverse squared transfer errors.
+      pts: (4, N) correspondence set rows [x, y, x', y'].
+      threshold: scalar squared threshold.  'inliers' counts
+        ``r2_fwd + r2_bwd < threshold``; 'msac' sums truncated-quadratic
+        gains ``max(0, 1 - r2/threshold)``; 'magsac' sums the
+        sigma-marginalized weights with ``threshold = (k * sigma_max)^2``
+        (matching :func:`sks_tpu.robust.ransac.magsac_weights`).
+      point_weights: optional (N,) gains multiplier (0 drops a point).
 
     Returns:
-      (1, M, 128) float32 inlier counts (component-major like the inputs).
+      (1, M, 128) float32 scores (component-major like the inputs).
     """
     _, m, _ = src.shape
     tile = min(tile, m)
     assert m % tile == 0
     n = pts.shape[1]
-    grid = (m // tile,)
-    spec_in = pl.BlockSpec((8, tile, LANES), lambda i: (0, i, 0),
+    if point_weights is None:
+        point_weights = jnp.ones((n,), jnp.float32)
+    point_block = min(point_block, n)
+    pad = (-n) % point_block
+    if pad:
+        pts = jnp.pad(pts, ((0, 0), (0, pad)))
+        point_weights = jnp.pad(point_weights, (0, pad))
+    n_pad = n + pad
+    n_blocks = n_pad // point_block
+
+    grid = (m // tile, n_blocks)
+    spec_in = pl.BlockSpec((8, tile, LANES), lambda i, j: (0, i, 0),
                            memory_space=pltpu.VMEM)
-    kernel = functools.partial(_solve_score_kernel, n_points=n)
+    kernel = functools.partial(_solve_score_kernel, point_block=point_block,
+                               scoring=scoring)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pts, flattened (4N,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # threshold (1,)
+            pl.BlockSpec((4, point_block), lambda i, j: (0, j),
+                         memory_space=pltpu.SMEM),  # point block
+            pl.BlockSpec((1, point_block), lambda i, j: (0, j),
+                         memory_space=pltpu.SMEM),  # weight block
             spec_in,
             spec_in,
         ],
-        out_specs=pl.BlockSpec((1, tile, LANES), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((1, tile, LANES), lambda i, j: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, m, LANES), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=(97 + 36 * n) * m * LANES,
+            flops=(97 + 38 * n_pad) * m * LANES,
             bytes_accessed=(16 + 1) * m * LANES * 4,
             transcendentals=0,
         ),
-    )(pts.reshape(4 * n), jnp.asarray(threshold, src.dtype).reshape(1),
+    )(jnp.asarray(threshold, jnp.float32).reshape(1),
+      pts.astype(jnp.float32),
+      point_weights.astype(jnp.float32).reshape(1, n_pad),
       src, tar)

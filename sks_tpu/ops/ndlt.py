@@ -44,19 +44,43 @@ def ndlt_core(
     :func:`ndlt_h` at N=4, unweighted.  Returns 9 entries row-major, up to
     scale.
     """
-    dtype = x0.dtype
-    quarter = jnp.asarray(0.25, dtype)
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    # DF (double-word) components run the identical chain in df64 — the
+    # dispatch below covers the three non-arithmetic ops (abs, identity
+    # constants, the eigensolver); everything else is +,-,*,/ which the DF
+    # operators provide (ops/df64.ndlt_df64_h is the public entry).
+    from sks_tpu.ops.df64 import DF as _DF
+
+    is_df = isinstance(x0, _DF)
+    if is_df:
+        from sks_tpu.ops.df64 import df_where, jacobi_smallest_col_df
+
+        base = x0.hi
+
+        def _abs(v):
+            return df_where(v.hi >= 0, v, -v)
+    else:
+        base = x0
+        _abs = jnp.abs
+    quarter = 0.25
+    # Hartley scales divide by the mean |dev|, which is >= a pixel for any
+    # non-coincident quad; the f32-tiny floor only guards all-equal points.
+    tiny = float(jnp.finfo(jnp.float32).tiny)
 
     def hartley(xs, ys):
         cx = (xs[0] + xs[1] + xs[2] + xs[3]) * quarter
         cy = (ys[0] + ys[1] + ys[2] + ys[3]) * quarter
         dx = [x - cx for x in xs]
         dy = [y - cy for y in ys]
-        devx = sum(jnp.abs(d) for d in dx) * quarter
-        devy = sum(jnp.abs(d) for d in dy) * quarter
-        sx = 1.0 / jnp.maximum(devx, tiny)
-        sy = 1.0 / jnp.maximum(devy, tiny)
+        devx = (_abs(dx[0]) + _abs(dx[1]) + _abs(dx[2]) + _abs(dx[3])) * quarter
+        devy = (_abs(dy[0]) + _abs(dy[1]) + _abs(dy[2]) + _abs(dy[3])) * quarter
+        if is_df:
+            devx = df_where(devx.hi > tiny, devx, devx + tiny)
+            devy = df_where(devy.hi > tiny, devy, devy + tiny)
+        else:
+            devx = jnp.maximum(devx, tiny)
+            devy = jnp.maximum(devy, tiny)
+        sx = 1.0 / devx
+        sy = 1.0 / devy
         return ([d * sx for d in dx], [d * sy for d in dy],
                 cx, cy, sx, sy)
 
@@ -74,7 +98,12 @@ def ndlt_core(
             sum(w[i] for i in range(4)),                  # 1
         )
 
-    ones = [jnp.ones_like(x0)] * 4
+    if is_df:
+        ones = [_DF(jnp.ones_like(base), jnp.zeros_like(base))] * 4
+        z = _DF(jnp.zeros_like(base), jnp.zeros_like(base))
+    else:
+        ones = [jnp.ones_like(base)] * 4
+        z = jnp.zeros_like(base)
     s1 = wsum_ppt(ones)
     sx_ = wsum_ppt([-t for t in tx])
     sy_ = wsum_ppt([-t for t in ty])
@@ -84,7 +113,6 @@ def ndlt_core(
         xx, xy, x, yy, y, o = e
         return [[xx, xy, x], [xy, yy, y], [x, y, o]]
 
-    z = jnp.zeros_like(x0)
     zb = [[z] * 3 for _ in range(3)]
     b1, bx, by, bd = block(s1), block(sx_), block(sy_), block(sd)
     ltl = [
@@ -95,7 +123,10 @@ def ndlt_core(
         [*bx[r], *by[r], *bd[r]] for r in range(3)
     ]
 
-    h = jacobi_smallest_col_core(ltl, sweeps=sweeps)
+    if is_df:
+        h = jacobi_smallest_col_df(ltl, sweeps=sweeps)
+    else:
+        h = jacobi_smallest_col_core(ltl, sweeps=sweeps)
 
     # Denormalize: H = T2^{-1} Hn T1 (anisotropic Hartley T's).
     rows_t1 = []

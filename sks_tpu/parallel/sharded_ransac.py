@@ -35,7 +35,7 @@ def sharded_ransac_homography(
     src: Array,
     tar: Array,
     config: RansacConfig = RansacConfig(),
-    axis: str = "hyp",
+    axis: str | tuple[str, ...] = "hyp",
     fused: bool = False,
 ) -> RansacResult:
     """RANSAC with the hypothesis batch sharded across ``mesh[axis]``.
@@ -45,38 +45,51 @@ def sharded_ransac_homography(
     ``fold_in(key, device_index)``, so the set of hypotheses is a pure function
     of (key, mesh size).
 
+    ``axis`` may be a tuple of mesh axis names — the multi-host layout
+    (``parallel.distributed.global_mesh``) passes ``('host', 'hyp')`` so
+    hypotheses shard across the DCN *and* ICI axes; the only cross-host
+    traffic is the top-K consensus gather (~K x 9 floats).
+
     ``fused=True`` runs the per-device solve+score through the Pallas fused
     kernel (see :func:`sks_tpu.robust.ransac_homography_fused` for its
-    constraints: ACA, inlier scoring, local batch % 128 == 0, N in SMEM) —
-    the multi-chip production configuration: per-device hypotheses never
-    leave VMEM; only the consensus rides ICI.
+    constraints: ACA, sum-style scoring, local batch % 128 == 0) — the
+    multi-chip production configuration: per-device hypotheses never leave
+    VMEM; only the consensus rides the interconnect.
 
     Returns a replicated RansacResult (identical on every device).
     """
-    n_dev = mesh.shape[axis]
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_dev = 1
+    for a in axes:
+        n_dev *= mesh.shape[a]
     assert config.num_hypotheses % n_dev == 0, (config.num_hypotheses, n_dev)
     b_local = config.num_hypotheses // n_dev
     n = src.shape[-2]
     solver = SOLVERS_H[config.solver]
     if fused:
-        assert config.solver == "aca" and config.scoring == "inliers", (
-            "fused path supports solver='aca', scoring='inliers'")
+        assert config.solver == "aca", "fused path supports solver='aca'"
+        assert config.scoring in ("inliers", "msac", "magsac"), config.scoring
         assert b_local % 128 == 0, (b_local,)
 
     k_local = max(1, min(config.lo_candidates, b_local))
 
     def shard_fn(key, src, tar):
-        dev = jax.lax.axis_index(axis)
+        # Linearized device index over the (possibly multi-axis) shard axes.
+        dev = jnp.asarray(0, jnp.int32)
+        for a in axes:
+            dev = dev * mesh.shape[a] + jax.lax.axis_index(a)
         k = jax.random.fold_in(key, dev)
         idx = sample_minimal_sets(k, n, b_local)
         s4 = jnp.take(src, idx, axis=0)
         t4 = jnp.take(tar, idx, axis=0)
         if fused:
             from sks_tpu.kernels.aca_pallas import aca_solve_score_soa, to_soa
+            from sks_tpu.robust.ransac import fused_kernel_threshold
 
             pts = jnp.concatenate([src.T, tar.T], axis=0)
-            t2 = jnp.asarray(config.threshold**2, src.dtype)
-            counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2)
+            t2 = jnp.asarray(fused_kernel_threshold(config), src.dtype)
+            counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2,
+                                         scoring=config.scoring)
             _, top = jax.lax.top_k(counts.reshape(-1), k_local)
             s4k, t4k = s4[top], t4[top]
             h_loc = solver(s4k, t4k)
@@ -84,7 +97,8 @@ def sharded_ransac_homography(
                 aca_valid_mask(s4k, t4k)[..., None, None], h_loc, jnp.nan
             )
             sc_loc, _ = score_hypotheses(
-                h_loc, src, tar, config.threshold, None, "inliers"
+                h_loc, src, tar, config.threshold, None, config.scoring,
+                config.sigma_max,
             )
         else:
             h = solver(s4, t4)
@@ -107,7 +121,7 @@ def sharded_ransac_homography(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axes), P(axes)),
         check_vma=False,  # inputs are replicated, outputs sharded over axis
     )
     h_all, sc_all = fn(key, src, tar)  # (n_dev * k_local, 3, 3), (n_dev*k,)

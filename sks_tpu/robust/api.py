@@ -79,14 +79,26 @@ def find_homography(
                          "method='fused' (fixed-batch Pallas path)")
     if method == "fused" and sampling != "uniform":
         raise ValueError("method='fused' supports only uniform sampling")
-    if method == "fused":
+
+    # On TPU the fused Pallas kernel IS the production path: route eligible
+    # configurations through it automatically (identical semantics to the
+    # general path with solver='aca', modulo hypothesis-sampling RNG).
+    scoring = {"ransac": "inliers"}.get(method, method)
+    auto_fused = (
+        method in ("ransac", "msac", "magsac")
+        and solver == "aca"
+        and confidence is None
+        and sampling == "uniform"
+        and jax.default_backend() == "tpu"
+    )
+    if method == "fused" or auto_fused:
         b = -(-max_iters // 128) * 128
         config = RansacConfig(
             num_hypotheses=b,
             threshold=ransac_reproj_threshold,
             solver="aca",
             refine_iters=refine_iters,
-            scoring="inliers",
+            scoring="inliers" if method == "fused" else scoring,
         )
         res = ransac_homography_fused(key, src, tar, config)
     elif confidence is not None:

@@ -98,6 +98,11 @@ class RansacConfig:
     # basin cannot eclipse a recoverable runner-up.  K NDLT solves ~ free next
     # to scoring B hypotheses.
     lo_candidates: int = 4
+    # Score residuals in double-word (df64) arithmetic — fp64-grade inlier
+    # decisions on fp32-only TPUs (the reference scores in fp64 everywhere;
+    # ops/df64.residual2_df64).  ~10x elementwise scoring cost; off by
+    # default.
+    df64_scoring: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -192,12 +197,20 @@ def sample_minimal_sets_prosac(
     return jnp.concatenate([head, sizes[:, None] - 1], axis=-1)
 
 
-def _residual2(h: Array, src: Array, tar: Array) -> Array:
+def _residual2(h: Array, src: Array, tar: Array,
+               df64: bool = False) -> Array:
     """Squared symmetric transfer error of hypotheses (B,3,3) on points (N,2).
 
     Returns (B, N).  Written against precomputed homogeneous products so the
-    whole thing fuses into one bandwidth-light elementwise pass.
+    whole thing fuses into one bandwidth-light elementwise pass.  With
+    ``df64=True`` the transfer chain runs in double-word arithmetic
+    (:func:`sks_tpu.ops.df64.residual2_df64`) — fp64-grade residual ordering
+    on fp32-only TPUs, at ~10x the elementwise cost.
     """
+    if df64:
+        from sks_tpu.ops.df64 import residual2_df64
+
+        return residual2_df64(h, src, tar)
     d1 = apply_homography(h, src) - tar[..., None, :, :]
     hinv = inv_h(h)
     d2 = apply_homography(hinv, tar) - src[..., None, :, :]
@@ -212,6 +225,7 @@ def score_hypotheses(
     point_mask: Array | None = None,
     scoring: str = "inliers",
     sigma_max: float | None = None,
+    df64: bool = False,
 ):
     """Score a batch of hypotheses against all correspondences.
 
@@ -231,7 +245,7 @@ def score_hypotheses(
       (scores (B,), inlier_mask (B, N)) — degenerate/non-finite hypotheses get
       score -1 and empty masks.
     """
-    r2 = _residual2(h, src, tar)  # (B, N)
+    r2 = _residual2(h, src, tar, df64=df64)  # (B, N)
     t2 = jnp.asarray(threshold * threshold, r2.dtype)
     finite = jnp.all(jnp.isfinite(h), axis=(-2, -1))
     r2 = jnp.where(jnp.isfinite(r2), r2, jnp.inf)
@@ -283,7 +297,8 @@ def score_hypotheses(
 def _irls_refine(h0: Array, src: Array, tar: Array, iters: int,
                  threshold: float, point_mask: Array | None = None,
                  scoring: str = "inliers",
-                 sigma_max: float | None = None) -> Array:
+                 sigma_max: float | None = None,
+                 df64: bool = False) -> Array:
     """Local optimization: annealed IRLS NDLT (LO-RANSAC + GNC).
 
     Each iteration rebuilds the weight set from the *current* model's
@@ -304,7 +319,7 @@ def _irls_refine(h0: Array, src: Array, tar: Array, iters: int,
         scale = jnp.clip(
             2.0 ** (iters - 2 - t).astype(src.dtype), 1.0, 4.0
         )
-        r2 = _residual2(h[None], src, tar)[0]
+        r2 = _residual2(h[None], src, tar, df64=df64)[0]
         if scoring == "magsac":
             w = magsac_weights(r2, scale * jnp.asarray(sm, src.dtype))
             w = w.astype(src.dtype)
@@ -348,7 +363,7 @@ def _eval_chunk(key, src, tar, config, point_mask, prosac_sizes=None):
         h = jnp.where(valid[..., None, None], h, jnp.nan)
     scores, inl = score_hypotheses(
         h, src, tar, config.threshold, point_mask, config.scoring,
-        config.sigma_max,
+        config.sigma_max, config.df64_scoring,
     )
     k_cand = max(1, min(config.lo_candidates, config.num_hypotheses))
     sc_top, top_idx = jax.lax.top_k(scores, k_cand)
@@ -369,6 +384,7 @@ def _refine_and_pack(h_top, sc_top, inl_best, src, tar, config, point_mask):
             lambda h: _irls_refine(
                 h, src, tar, config.refine_iters, config.threshold,
                 point_mask, config.scoring, config.sigma_max,
+                config.df64_scoring,
             )
         )(h_top)
         # Candidates: every polished model, plus the raw champion as the
@@ -376,7 +392,7 @@ def _refine_and_pack(h_top, sc_top, inl_best, src, tar, config, point_mask):
         cand = jnp.concatenate([h_pol, h_best[None]], axis=0)
         sc, inls = score_hypotheses(
             cand, src, tar, config.threshold, point_mask,
-            config.scoring, config.sigma_max,
+            config.scoring, config.sigma_max, config.df64_scoring,
         )
         if config.scoring == "lmeds":
             # LMedS selects by median but (like cv2) keeps the least-squares
@@ -526,33 +542,47 @@ def ransac_homography_adaptive(
     )
 
 
+def fused_kernel_threshold(config: RansacConfig) -> float:
+    """The squared threshold the fused kernel wants for config.scoring.
+
+    'inliers'/'msac' gate at threshold^2; 'magsac' at (k * sigma_max)^2 (see
+    :func:`magsac_weights`).
+    """
+    if config.scoring == "magsac":
+        sm = (config.sigma_max if config.sigma_max is not None
+              else 3.0 * config.threshold)
+        return (_MAGSAC_K * sm) ** 2
+    return config.threshold * config.threshold
+
+
 @partial(jax.jit, static_argnames=("config",))
 def ransac_homography_fused(
     key: Array,
     src: Array,
     tar: Array,
     config: RansacConfig = RansacConfig(),
+    point_mask: Array | None = None,
 ) -> RansacResult:
     """RANSAC with the Pallas fused ACA solve+score kernel on the hot path.
 
     The production TPU configuration (SURVEY.md §7 layer 2): all B hypothesis
     homographies are solved and scored *inside one VMEM-resident kernel*
     (``sks_tpu.kernels.aca_pallas.aca_solve_score_soa``) — only the 4-byte
-    inlier count per hypothesis ever reaches HBM, cutting hypothesis-stage
-    traffic from ~100 to ~68 bytes/hypothesis.  Only the single winning
-    minimal set is re-solved on the host path, then IRLS-refined exactly like
-    :func:`ransac_homography`.
+    score per hypothesis ever reaches HBM, cutting hypothesis-stage traffic
+    from ~100 to ~68 bytes/hypothesis.  Points stream through SMEM blocks
+    (N unbounded); ``point_mask`` handles padded sets; scoring may be
+    'inliers', 'msac', or 'magsac' (sigma-marginalized).  Only the top-K
+    winning minimal sets are re-solved on the XLA path, then polished exactly
+    like :func:`ransac_homography` — results match the general path with
+    solver='aca' up to hypothesis-sampling RNG.
 
-    Constraints vs the general path: solver is ACA; scoring is inlier counts
-    over the symmetric transfer error; ``config.num_hypotheses`` must be a
-    multiple of 128 (SoA lane width); N <= ~2048 points (the correspondence
-    set lives in SMEM); no point mask (pad with far-away sentinel points
-    instead).  Falls back to pure-XLA scoring logic for everything after the
-    argmax, so results match :func:`ransac_homography` with solver='aca',
-    scoring='inliers' up to hypothesis-sampling RNG.
+    Remaining constraints vs the general path: solver is ACA;
+    ``config.num_hypotheses`` must be a multiple of 128 (SoA lane width);
+    scoring='lmeds' (a median, not a sum) stays XLA-only.
     """
     from sks_tpu.kernels.aca_pallas import aca_solve_score_soa, to_soa
 
+    assert config.scoring in ("inliers", "msac", "magsac"), config.scoring
     n = src.shape[-2]
     b = config.num_hypotheses
     assert b % 128 == 0, "num_hypotheses must be a multiple of 128 (SoA lanes)"
@@ -561,8 +591,10 @@ def ransac_homography_fused(
     t4 = jnp.take(tar, idx, axis=0)
 
     pts = jnp.concatenate([src.T, tar.T], axis=0)  # (4, N) rows x,y,x',y'
-    t2 = jnp.asarray(config.threshold * config.threshold, src.dtype)
-    counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2)
+    t2 = jnp.asarray(fused_kernel_threshold(config), src.dtype)
+    pw = None if point_mask is None else point_mask.astype(jnp.float32)
+    counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2,
+                                 point_weights=pw, scoring=config.scoring)
     # SoA index (j, lane) is hypothesis j*128 + lane: reshape(-1) is id order.
     k_cand = max(1, min(config.lo_candidates, b))
     _, top_idx = jax.lax.top_k(counts.reshape(-1), k_cand)
@@ -574,8 +606,9 @@ def ransac_homography_fused(
         aca_valid_mask(s4k, t4k)[..., None, None], h_top, jnp.nan
     )
     sc_top, inl = score_hypotheses(
-        h_top, src, tar, config.threshold, None, "inliers"
+        h_top, src, tar, config.threshold, point_mask, config.scoring,
+        config.sigma_max,
     )
     return _refine_and_pack(
-        h_top, sc_top, inl[0], src, tar, config, None
+        h_top, sc_top, inl[0], src, tar, config, point_mask
     )

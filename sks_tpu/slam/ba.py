@@ -178,3 +178,51 @@ def rms_reprojection(problem: BAProblem) -> Array:
     r = ba_residuals(problem)
     n = jnp.maximum(problem.mask.sum(), 1.0)
     return jnp.sqrt(jnp.sum(r * r) / (2 * n))
+
+
+def synth_ba_problem(
+    key: Array,
+    num_cams: int = 20,
+    num_points: int = 10_240,
+    noise_pose: float = 0.02,
+    noise_pt: float = 0.05,
+    noise_px: float = 0.5,
+    visibility: float = 0.8,
+    dtype=jnp.float32,
+):
+    """Synthetic BA problem at arbitrary scale: (ground_truth, noisy_init).
+
+    Cameras on a gentle arc viewing a thick planar cloud around z=4; each
+    observation is the exact projection plus ``noise_px`` pixels; a random
+    ``visibility`` fraction of (cam, point) pairs is observed.  The noisy
+    init perturbs poses and points — the quantity BA must undo.
+    """
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    k_mat = jnp.array(
+        [[600.0, 0.0, 320.0], [0.0, 600.0, 240.0], [0.0, 0.0, 1.0]], dtype
+    )
+    xi = jax.random.normal(k1, (num_cams, 6), dtype) * 0.1
+    poses_gt = se3_exp(xi)
+    pts = jnp.concatenate(
+        [
+            jax.random.uniform(k2, (num_points, 2), dtype, -1.5, 1.5),
+            4.0 + 0.2 * jax.random.normal(k3, (num_points, 1), dtype),
+        ],
+        axis=-1,
+    )
+    mask = (jax.random.uniform(k7, (num_cams, num_points), dtype)
+            < visibility).astype(dtype)
+    gt = BAProblem(
+        poses=poses_gt, points=pts, intrinsics=k_mat,
+        obs=jnp.zeros((num_cams, num_points, 2), dtype), mask=mask,
+    )
+    obs = ba_residuals(gt)  # == projections (obs is zero above)
+    obs = obs + noise_px * jax.random.normal(k6, obs.shape, dtype)
+    gt = BAProblem(poses_gt, pts, k_mat, obs, mask)
+
+    poses0 = poses_gt @ se3_exp(
+        jax.random.normal(k4, (num_cams, 6), dtype) * noise_pose
+    )
+    pts0 = pts + noise_pt * jax.random.normal(k5, pts.shape, dtype)
+    init = BAProblem(poses0, pts0, k_mat, obs, mask)
+    return gt, init

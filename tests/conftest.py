@@ -25,6 +25,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# NOTE: do NOT enable the persistent compilation cache here — this jaxlib
+# segfaults in compilation_cache.get_executable_and_time when deserializing
+# cached CPU executables mid-suite (reproduced twice; crash in _cache_read).
+# Suite time is managed with @pytest.mark.slow instead.
+
 import pytest  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402

@@ -94,3 +94,85 @@ def test_df64_jit_vmap_compose(key, synth):
     assert isinstance(out, DF)
     assert out.hi.shape == (B, 3, 3)
     assert bool(jnp.all(jnp.isfinite(out.hi)))
+
+
+def test_sks_df64_matches_f64_jitted(key):
+    """sks_df64 under jit tracks true fp64 (guards the _pin EFT shields —
+    without them XLA:CPU's simplifier zeroes the error words)."""
+    from sks_tpu.geom.homography import normalize_h
+    from sks_tpu.ops.df64 import df_to_f64, sks_df64_h
+    from sks_tpu.ops.sks import sks_h
+    from sks_tpu.utils.synth import random_quad_pairs
+
+    src64, tar64 = jit_of(lambda k: random_quad_pairs(k, 256, jnp.float64))(key)
+    src, tar = src64.astype(jnp.float32), tar64.astype(jnp.float32)
+    h_df = df_to_f64(jax.jit(sks_df64_h)(src, tar))
+    h64 = jit_of(sks_h)(src.astype(jnp.float64), tar.astype(jnp.float64))
+    d = float(jnp.max(jnp.abs(normalize_h(h_df, "fro")
+                              - normalize_h(h64, "fro"))))
+    assert d < 1e-10, d
+
+
+def test_residual2_df64_accuracy(key):
+    """df64 scoring residuals track fp64 ~500x closer than f32."""
+    from sks_tpu.ops import aca_h
+    from sks_tpu.ops.df64 import residual2_df64
+    from sks_tpu.robust.ransac import _residual2
+    from sks_tpu.utils.synth import random_correspondences, random_quad_pairs
+
+    src, tar = jit_of(lambda k: random_quad_pairs(k, 64, jnp.float32))(key)
+    h = jit_of(aca_h)(src, tar)
+    h = h / h[..., 2:3, 2:3]  # normalized scale (raw 1e20-scale is ~100x
+    # looser but still df64-exact where f32 overflows outright)
+    ps, pt, _ = jit_of(
+        lambda k: random_correspondences(k, (), 64, 1.0, jnp.float32)
+    )(jax.random.fold_in(key, 1))
+    r_df = jax.jit(residual2_df64)(h, ps, pt)
+    r_64 = _residual2(h.astype(jnp.float64), ps.astype(jnp.float64),
+                      pt.astype(jnp.float64))
+    r_32 = _residual2(h, ps, pt)
+    # Points near a hypothesis's horizon give infinite residuals on every
+    # path; compare where the fp64 residual is finite and well-scaled.
+    ok = (jnp.isfinite(r_64) & (r_64 > 1e-6) & (r_64 < 1e12)
+          & jnp.isfinite(r_32))
+    rel_df = float(jnp.max(jnp.where(ok, jnp.abs(r_df - r_64) / r_64, 0.0)))
+    rel_32 = float(jnp.max(jnp.where(ok, jnp.abs(r_32 - r_64) / r_64, 0.0)))
+    assert rel_df < rel_32 / 50, (rel_df, rel_32)
+
+
+def test_ndlt_df64_fixture_grade(key):
+    """df64 NDLT reaches fp64-grade accuracy where plain f32 fails by ~1e3 px
+    (the VERDICT r1 golden-test exclusion, now deletable)."""
+    import numpy as np
+
+    from sks_tpu.data.fixture import GT_H, load_correspondences
+    from sks_tpu.geom.homography import apply_homography
+    from sks_tpu.ops.df64 import df_to_f64, ndlt_df64_h
+
+    src, _ = load_correspondences()
+    src = jnp.asarray(src)
+    rng = np.random.default_rng(3)
+    idx = np.stack([rng.choice(src.shape[0], 4, replace=False)
+                    for _ in range(64)])
+    s4 = jnp.take(src, jnp.asarray(idx), axis=0).astype(jnp.float32)
+    t4 = apply_homography(jnp.asarray(GT_H, jnp.float32), s4)
+    h = df_to_f64(jax.jit(ndlt_df64_h)(s4, t4))
+    h = h / h[..., 2:3, 2:3]
+    err = jnp.max(jnp.abs(apply_homography(h, s4[:, None].astype(jnp.float64))
+                          - t4[:, None]), axis=(-3, -2, -1))
+    assert float(jnp.median(err)) < 1.0, float(jnp.median(err))
+
+
+def test_ransac_df64_scoring_smoke(key):
+    """RansacConfig(df64_scoring=True) runs end-to-end and rejects outliers."""
+    from sks_tpu.robust.ransac import RansacConfig, ransac_homography
+    from sks_tpu.utils.synth import random_correspondences
+
+    src, tar, _ = jit_of(
+        lambda k: random_correspondences(k, (), 128, 0.5, jnp.float32))(key)
+    tar = tar.at[:32].set(
+        jax.random.uniform(jax.random.fold_in(key, 1), (32, 2),
+                           jnp.float32, 0, 640))
+    cfg = RansacConfig(num_hypotheses=512, threshold=3.0, df64_scoring=True)
+    res = ransac_homography(key, src, tar, cfg)
+    assert int(res.num_inliers) > 80, int(res.num_inliers)

@@ -116,7 +116,10 @@ def test_pallas_chain_dependency_is_noop(soa_inputs):
     assert np.allclose(np.asarray(h0), np.asarray(h1))
 
 
-@pytest.mark.parametrize("name", ["rho_ge", "gpt_lu", "ho", "ndlt"])
+@pytest.mark.parametrize("name", [
+    "rho_ge", "gpt_lu", "ho",
+    pytest.param("ndlt", marks=pytest.mark.slow),  # 9x9 Jacobi trace ~60s
+])
 def test_baseline_cores_match_aos_ops(key, name):
     """Component cores == the AoS ops they single-source (f64, exact math)."""
     from sks_tpu.ops import SOLVERS_H
@@ -157,7 +160,10 @@ def test_baseline_pallas_matches_aos(soa_inputs, name):
     assert np.allclose(a, b, atol=2e-3), np.max(np.abs(a - b))
 
 
-@pytest.mark.parametrize("name", ["rho_ge", "gpt_lu", "ho", "ndlt"])
+@pytest.mark.parametrize("name", [
+    "rho_ge", "gpt_lu", "ho",
+    pytest.param("ndlt", marks=pytest.mark.slow),  # covered by matches_aos
+])
 def test_baseline_pallas_oracle(key, name):
     """SoA Pallas baselines recover exact homographies (sub-millipixel)."""
     from sks_tpu.geom.homography import apply_homography

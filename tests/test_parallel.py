@@ -3,7 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+from conftest import jit_of
 from sks_tpu.parallel import make_mesh
 from sks_tpu.parallel.sharded_ba import shard_problem, sharded_gauss_newton_step
 from sks_tpu.slam.ba import gauss_newton_step, rms_reprojection
@@ -74,3 +76,51 @@ def test_sharded_ba_converges(key):
     for _ in range(6):
         prob = sharded_gauss_newton_step(mesh, prob, damping=1e-6)
     assert float(rms_reprojection(prob)) < 1e-6
+
+
+def test_sharded_ndlt_matches_single_device(key):
+    """Point-sharded NDLT (psum reduction) == single-device ndlt_h
+    (VERDICT r1: the SURVEY §5 sequence-parallel analogue)."""
+    from sks_tpu.geom.homography import normalize_h
+    from sks_tpu.ops.ndlt import ndlt_h
+    from sks_tpu.parallel.sharded_refine import sharded_ndlt_h
+    from sks_tpu.utils.synth import random_correspondences
+
+    src, tar, _ = jit_of(
+        lambda k: random_correspondences(k, (), 1024, 1.0, jnp.float32))(key)
+    w = (jax.random.uniform(jax.random.fold_in(key, 1), (1024,)) > 0.2
+         ).astype(jnp.float32)
+    mesh = make_mesh({"pts": 8})
+    hs = jax.jit(lambda s, t, w: sharded_ndlt_h(mesh, s, t, w))(src, tar, w)
+    hr = jit_of(ndlt_h)(src, tar, w)
+    np.testing.assert_allclose(np.asarray(normalize_h(hs, "fro")),
+                               np.asarray(normalize_h(hr, "fro")),
+                               atol=5e-6)
+
+
+def test_sharded_ho_matches_single_device(key):
+    from sks_tpu.geom.homography import normalize_h
+    from sks_tpu.ops.ho import ho_h
+    from sks_tpu.parallel.sharded_refine import sharded_ho_h
+    from sks_tpu.utils.synth import random_correspondences
+
+    src, tar, _ = jit_of(
+        lambda k: random_correspondences(k, (), 512, 0.5, jnp.float32))(key)
+    mesh = make_mesh({"pts": 8})
+    hs = jax.jit(lambda s, t: sharded_ho_h(mesh, s, t))(src, tar)
+    hr = jit_of(ho_h)(src, tar)
+    np.testing.assert_allclose(np.asarray(normalize_h(hs, "fro")),
+                               np.asarray(normalize_h(hr, "fro")),
+                               atol=5e-6)
+
+
+@pytest.mark.slow
+def test_sharded_ba_at_scale():
+    """K=20 cameras, L=10,240 landmarks on the virtual mesh: converges to
+    the 0.5 px observation-noise floor (VERDICT r1 next-#9)."""
+    from sks_tpu.bench.ba_scale import run
+
+    out = run(num_cams=20, num_points=10_240, iters=6)
+    assert out["converged"], out["rms_reprojection_px"]
+    assert out["rms_reprojection_px"][-1] < 0.6
+    assert out["pose_center_rms"] < 0.05, out["pose_center_rms"]

@@ -156,6 +156,7 @@ def test_ransac_jit_shapes(key):
     assert r1.h.shape == r2.h.shape == (3, 3)
 
 
+@pytest.mark.slow
 def test_ransac_adaptive_early_exit(key):
     """Adaptive RANSAC matches the fixed-batch fit and actually exits early."""
     from sks_tpu.robust import ransac_homography_adaptive
@@ -278,6 +279,7 @@ def test_magsac_weights_properties():
     assert bool(jnp.all((mid > 0.0) & (mid < 1.0)))
 
 
+@pytest.mark.slow
 def test_magsac_beats_ransac_heteroscedastic(key):
     """MAGSAC++ sigma-consensus wins on heteroscedastic noise (VERDICT r1 #6).
 

@@ -101,6 +101,7 @@ def test_n_point_weighted_padding(key, synth):
         assert np.allclose(np.asarray(h_ref), np.asarray(h_pad), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_noise_least_squares_beats_minimal(key, synth):
     """With noise and N=16, the LS solvers should beat a minimal 4-pt solve."""
     dtype = jnp.float64
@@ -174,6 +175,7 @@ def test_batch_broadcasting(key, synth):
     assert float(_max_reproj(h, src, tar)) < 0.1
 
 
+@pytest.mark.slow
 def test_dtype_preserved(key, synth):
     src, tar, _ = synth(key, 4, 4, 0.0, jnp.float32)
     src64, tar64 = src.astype(jnp.float64), tar.astype(jnp.float64)
