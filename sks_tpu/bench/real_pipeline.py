@@ -48,14 +48,30 @@ def _corner_err(h, h_true, shape) -> float:
 
 
 def pair_parity(seed: int, num_pairs: int = 8, shape=(480, 640),
-                threshold: float = 3.0, method: str = "ransac"):
-    """Per-pair inlier parity of find_homography vs cv2.findHomography."""
+                threshold: float = 3.0, method: str = "ransac",
+                texture: str = "procedural"):
+    """Per-pair inlier parity of find_homography vs cv2.findHomography.
+
+    ``texture='photo'`` renders every pair from a real photograph
+    (``data/images.photo_texture``) instead of the procedural plane — the
+    HPatches ``v_*`` viewpoint protocol (one real planar scene, many camera
+    poses), so real photographic pixels flow through detection, description,
+    matching, and the robust fit.
+    """
     import cv2
 
+    tex = None
+    if texture == "photo":
+        from sks_tpu.data.images import photo_texture
+
+        tex = photo_texture(shape)
+        if tex is None:
+            raise RuntimeError("no bundled photograph available "
+                               "(PIL or matplotlib sample data missing)")
     rows = []
     for i in range(num_pairs):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-        img1, img2, h_true = planar_pair(key, shape)
+        img1, img2, h_true = planar_pair(key, shape, texture=tex)
         p1, p2, valid, _ = match_frames_oriented(img1, img2, 512, 3)
         v = np.asarray(valid)
         a = np.asarray(p1)[v]
@@ -153,11 +169,13 @@ def sequence_ate(seed: int, num_frames: int = 12, shape=(240, 320),
     }
 
 
-def run(seed: int = 0, num_pairs: int = 8, num_frames: int = 12):
-    pairs = pair_parity(seed, num_pairs)
+def run(seed: int = 0, num_pairs: int = 8, num_frames: int = 12,
+        texture: str = "procedural"):
+    pairs = pair_parity(seed, num_pairs, texture=texture)
     scored = [r for r in pairs if "skipped" not in r]
     ate = sequence_ate(seed, num_frames)
     summary = {
+        "texture": texture,
         "pairs": pairs,
         "pair_summary": {
             "n": len(scored),
@@ -178,14 +196,23 @@ def run(seed: int = 0, num_pairs: int = 8, num_frames: int = 12):
 if __name__ == "__main__":
     import argparse
 
+    # The pipeline is feature-bound and parity/ATE are hardware-independent;
+    # run hermetically on the CPU backend (the committed artifacts are CPU —
+    # and per-match host readbacks would bottleneck on a relayed TPU).
+    jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=8)
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--texture", choices=("procedural", "photo"),
+                    default="procedural",
+                    help="'photo' renders pairs from a real photograph "
+                         "(bundled grace_hopper.jpg)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    summary = run(args.seed, args.pairs, args.frames)
+    summary = run(args.seed, args.pairs, args.frames, texture=args.texture)
     print(json.dumps(summary["pair_summary"], indent=1))
     print(json.dumps(summary["sequence"], indent=1))
     if args.out:

@@ -26,11 +26,51 @@ from sks_tpu.geom.homography import apply_homography, homography_from_pose
 
 __all__ = [
     "plane_texture",
+    "photo_texture",
     "warp_image",
     "photometric_jitter",
     "planar_pair",
     "planar_sequence",
 ]
+
+# Real photographs shipped inside locally installed packages (no network
+# needed).  A real photo as the plane texture grounds the feature pipeline in
+# genuine photographic statistics — sensor texture, lighting gradients,
+# natural edge distributions — the role the reference's wall photo plays for
+# its SIFT fixture (`CPU_Runtime Test/orig_pts_wall.txt`).
+_PHOTO_CANDIDATES = (
+    # matplotlib's sample portrait (512x600 RGB photograph).
+    ("matplotlib", "mpl-data/sample_data/grace_hopper.jpg"),
+)
+
+
+def photo_texture(shape: tuple = (480, 640), dtype=jnp.float32):
+    """A real photograph as a [0, 1] grayscale plane texture, or None.
+
+    Loads the first available bundled photo (see ``_PHOTO_CANDIDATES``),
+    converts to luminance, and resizes to ``shape``.  Returns None when no
+    photo or loader (PIL) is available so callers can fall back to
+    :func:`plane_texture` — keeps the module import-clean in minimal envs.
+    """
+    import importlib
+    import os
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    for pkg, rel in _PHOTO_CANDIDATES:
+        try:
+            root = os.path.dirname(importlib.import_module(pkg).__file__)
+        except ImportError:
+            continue
+        path = os.path.join(root, rel)
+        if not os.path.isfile(path):
+            continue
+        img = Image.open(path).convert("L")
+        arr = jnp.asarray(img, dtype) / 255.0
+        return jax.image.resize(arr, shape, "linear")
+    return None
 
 
 def plane_texture(key: Array, shape: tuple = (480, 640), octaves: int = 5,
@@ -107,12 +147,15 @@ def photometric_jitter(key: Array, img: Array, noise: float = 0.01,
 @partial(jax.jit, static_argnames=("shape",))
 def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
                 max_angle: float = 0.15, max_shift: float = 0.25,
-                noise: float = 0.01):
+                noise: float = 0.01, texture: Array | None = None):
     """One HPatches-style planar pair: (img1, img2, H_true 1->2 pixels).
 
     img1 is a fronto-parallel view of the textured plane; img2 the same plane
     from a perturbed camera (exact plane-induced homography), with independent
-    photometric jitter on both views.
+    photometric jitter on both views.  ``texture`` optionally supplies the
+    plane's pixels (e.g. a real photograph via :func:`photo_texture` — the
+    HPatches ``v_*`` viewpoint protocol: one real planar scene, many poses);
+    default is the procedural :func:`plane_texture`.
     """
     from sks_tpu.utils.synth import random_rotation
 
@@ -127,7 +170,7 @@ def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
     n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
     d = jnp.asarray(3.0, jnp.float32)
     h_true = homography_from_pose(k_mat, k_mat, r, t, n, d)
-    base = plane_texture(kt, shape)
+    base = plane_texture(kt, shape) if texture is None else texture
     img1 = photometric_jitter(kp1, base, noise)
     img2 = photometric_jitter(kp2, warp_image(base, h_true), noise)
     return img1, img2, h_true

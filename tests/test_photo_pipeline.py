@@ -1,0 +1,66 @@
+"""Real-photograph pipeline: a genuine photo's pixels through the full stack.
+
+The reference grounds its harnesses in one real wall photo's SIFT matches
+(``CPU_Runtime Test/orig_pts_wall.txt``; sampled by ``main.cpp:21-30``).
+Here a real photograph bundled with the local environment (matplotlib's
+``grace_hopper.jpg``) is the planar scene: rendered under exact homographies
+(HPatches ``v_*`` viewpoint protocol), matched from pixels, robust-fit, and
+scored against exact GT — the real-image grounding the wall scene provides,
+plus the ground truth it lacks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sks_tpu.data.images import photo_texture, planar_pair
+
+
+def test_photo_texture_loads():
+    tex = photo_texture((120, 160))
+    if tex is None:
+        pytest.skip("no bundled photograph in this environment")
+    assert tex.shape == (120, 160)
+    assert float(tex.min()) >= 0.0 and float(tex.max()) <= 1.0
+    # A photograph, not a constant: meaningful dynamic range.
+    assert float(tex.max() - tex.min()) > 0.5
+
+
+@pytest.mark.slow
+def test_photo_pair_parity_vs_cv2():
+    cv2 = pytest.importorskip("cv2")
+    from sks_tpu.bench.real_pipeline import pair_parity
+
+    rows = pair_parity(0, 2, shape=(240, 320), texture="photo")
+    scored = [r for r in rows if "skipped" not in r]
+    assert len(scored) == 2
+    for r in scored:
+        assert r["matches"] >= 50  # real-photo pixels produce real matches
+        assert r["inlier_agreement"] >= 0.95  # cv2 parity on the same matches
+
+
+def test_photo_pair_recovers_gt():
+    """Image-derived matches on the photo recover the exact GT homography."""
+    tex = photo_texture((240, 320))
+    if tex is None:
+        pytest.skip("no bundled photograph in this environment")
+    from sks_tpu.features.matching import match_frames_oriented
+    from sks_tpu.geom.homography import apply_homography
+    from sks_tpu.robust import find_homography
+
+    key = jax.random.PRNGKey(1)
+    img1, img2, h_true = planar_pair(key, (240, 320), texture=tex)
+    p1, p2, valid, _ = match_frames_oriented(img1, img2, 512, 3)
+    v = np.asarray(valid)
+    a, b = np.asarray(p1)[v], np.asarray(p2)[v]
+    assert a.shape[0] >= 30
+    h, mask = find_homography(jnp.asarray(a), jnp.asarray(b),
+                              ransac_reproj_threshold=3.0, max_iters=1024,
+                              key=jax.random.fold_in(key, 9))
+    assert int(np.asarray(mask).sum()) >= 20
+    # Transfer error at the *matched* inliers (interpolation region) vs GT.
+    pts = jnp.asarray(a)[np.asarray(mask)]
+    d = apply_homography(h, pts) - apply_homography(h_true, pts)
+    err = float(jnp.median(jnp.linalg.norm(d, axis=-1)))
+    assert err < 1.5, err
