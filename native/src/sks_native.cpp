@@ -12,6 +12,7 @@
 // native f64), host-side data loading, and the reference-comparable CPU
 // latency numbers (BASELINE.md Table 5).
 
+#include <algorithm>
 #include <chrono>
 #include <cinttypes>
 #include <cmath>
@@ -19,6 +20,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 
 namespace {
 
@@ -124,6 +126,426 @@ inline void sks_core(const T* s, const T* t, T* h) {
   h[8] = l20 * t0 + l21 * t1 + l22 * wsq1;
 }
 
+// ---------------------------------------------------------------------------
+// RHO-GE: pivot-free fixed elimination.  Mirrors sks_tpu/ops/ge.py ge_core —
+// Cramer solve over the first three points with a shared 3x3 determinant,
+// then the fourth point's 2x2 coupling in (h7, h8).  (Independent derivation;
+// the reference GE.cpp hand-unrolls a 2x4 minor / 3x8 major tableau instead.)
+template <typename T>
+inline void ge_core_native(const T* s, const T* t, T* h) {
+  const T x0 = s[0], y0 = s[1], x1 = s[2], y1 = s[3];
+  const T x2 = s[4], y2 = s[5], x3 = s[6], y3 = s[7];
+  const T X0 = t[0], Y0 = t[1], X1 = t[2], Y1 = t[3];
+  const T X2 = t[4], Y2 = t[5], X3 = t[6], Y3 = t[7];
+
+  const T det = x0 * (y1 - y2) - y0 * (x1 - x2) + (x1 * y2 - x2 * y1);
+  const T inv = T(1) / det;
+
+  // solve3(r): [x y 1] u = r over points 0..2, Cramer with shared det.
+  auto solve3 = [&](T r0, T r1, T r2, T* u) {
+    u[0] = (r0 * (y1 - y2) - y0 * (r1 - r2) + (r1 * y2 - r2 * y1)) * inv;
+    u[1] = (x0 * (r1 - r2) - r0 * (x1 - x2) + (x1 * r2 - x2 * r1)) * inv;
+    u[2] = (x0 * (y1 * r2 - y2 * r1) - y0 * (x1 * r2 - x2 * r1) +
+            r0 * (x1 * y2 - x2 * y1)) *
+           inv;
+  };
+
+  T u0[3], ux[3], uy[3], v0[3], vx[3], vy[3];
+  solve3(X0, X1, X2, u0);
+  solve3(x0 * X0, x1 * X1, x2 * X2, ux);
+  solve3(y0 * X0, y1 * X1, y2 * X2, uy);
+  solve3(Y0, Y1, Y2, v0);
+  solve3(x0 * Y0, x1 * Y1, x2 * Y2, vx);
+  solve3(y0 * Y0, y1 * Y1, y2 * Y2, vy);
+
+  auto row = [&](const T* u) { return u[0] * x3 + u[1] * y3 + u[2]; };
+  const T a11 = row(ux) - x3 * X3, a12 = row(uy) - y3 * X3;
+  const T b1 = X3 - row(u0);
+  const T a21 = row(vx) - x3 * Y3, a22 = row(vy) - y3 * Y3;
+  const T b2 = Y3 - row(v0);
+  const T inv2 = T(1) / (a11 * a22 - a12 * a21);
+  const T h7 = (b1 * a22 - b2 * a12) * inv2;
+  const T h8 = (a11 * b2 - a21 * b1) * inv2;
+
+  for (int c = 0; c < 3; ++c) {
+    h[c] = u0[c] + h7 * ux[c] + h8 * uy[c];
+    h[3 + c] = v0[c] + h7 * vx[c] + h8 * vy[c];
+  }
+  h[6] = h7;
+  h[7] = h8;
+  h[8] = T(1);
+}
+
+// ---------------------------------------------------------------------------
+// GPT-LU: classic getPerspectiveTransform 8x8 system solved by partially
+// pivoted Gauss-Jordan.  Mirrors sks_tpu/ops/gpt.py gpt_core /
+// linalg.solve_unrolled (static elimination order, row-max pivoting).
+template <typename T>
+inline void gpt_core_native(const T* s, const T* t, T* h) {
+  T m[8][9];
+  for (int i = 0; i < 4; ++i) {
+    const T x = s[2 * i], y = s[2 * i + 1];
+    const T X = t[2 * i], Y = t[2 * i + 1];
+    T* rx = m[i];
+    rx[0] = x; rx[1] = y; rx[2] = T(1); rx[3] = T(0); rx[4] = T(0);
+    rx[5] = T(0); rx[6] = -x * X; rx[7] = -y * X; rx[8] = X;
+    T* ry = m[4 + i];
+    ry[0] = T(0); ry[1] = T(0); ry[2] = T(0); ry[3] = x; ry[4] = y;
+    ry[5] = T(1); ry[6] = -x * Y; ry[7] = -y * Y; ry[8] = Y;
+  }
+  for (int k = 0; k < 8; ++k) {
+    int piv = k;
+    T best = std::fabs(m[k][k]);
+    for (int r = k + 1; r < 8; ++r) {
+      const T v = std::fabs(m[r][k]);
+      if (v > best) { best = v; piv = r; }
+    }
+    if (piv != k)
+      for (int c = k; c < 9; ++c) std::swap(m[k][c], m[piv][c]);
+    const T inv = T(1) / m[k][k];
+    for (int c = k + 1; c < 9; ++c) m[k][c] *= inv;
+    m[k][k] = T(1);
+    for (int r = 0; r < 8; ++r) {
+      if (r == k) continue;
+      const T f = m[r][k];
+      for (int c = k + 1; c < 9; ++c) m[r][c] -= f * m[k][c];
+      m[r][k] = T(0);
+    }
+  }
+  for (int i = 0; i < 8; ++i) h[i] = m[i][8];
+  h[8] = T(1);
+}
+
+// ---------------------------------------------------------------------------
+// Closed-form smallest eigenvector of a symmetric 3x3 (trigonometric
+// eigenvalue + largest row-cross + one Rayleigh-shifted adjugate step).
+// Mirrors sks_tpu/ops/linalg.py smallest_eigvec3_core.
+template <typename T>
+inline void smallest_eigvec3(T a00, T a01, T a02, T a11, T a12, T a22,
+                             T* v) {
+  const T tiny = std::numeric_limits<T>::min();
+  const T third = T(1) / T(3);
+  const T q = (a00 + a11 + a22) * third;
+  const T b00 = a00 - q, b11 = a11 - q, b22 = a22 - q;
+  T p2 = (b00 * b00 + b11 * b11 + b22 * b22 +
+          T(2) * (a01 * a01 + a02 * a02 + a12 * a12)) / T(6);
+  const T p = std::sqrt(p2 > tiny ? p2 : tiny);
+  const T ip = T(1) / p;
+  const T detb =
+      (b00 * ip) * ((b11 * ip) * (b22 * ip) - (a12 * ip) * (a12 * ip)) -
+      (a01 * ip) * ((a01 * ip) * (b22 * ip) - (a12 * ip) * (a02 * ip)) +
+      (a02 * ip) * ((a01 * ip) * (a12 * ip) - (b11 * ip) * (a02 * ip));
+  const T lim = T(1) - T(8) * std::numeric_limits<T>::epsilon();
+  T r = detb * T(0.5);
+  if (r > lim) r = lim;
+  if (r < -lim) r = -lim;
+  const T phi = std::acos(r) * third;
+  const T lam = q + T(2) * p * std::cos(phi + T(2.0943951023931953));
+
+  const T m00 = a00 - lam, m11 = a11 - lam, m22 = a22 - lam;
+  const T rows[3][3] = {{m00, a01, a02}, {a01, m11, a12}, {a02, a12, m22}};
+  T best[3] = {0, 0, 0};
+  T best_n = T(-1);
+  const int pairs[3][2] = {{0, 1}, {0, 2}, {1, 2}};
+  for (const auto& pr : pairs) {
+    const T* u = rows[pr[0]];
+    const T* w = rows[pr[1]];
+    const T c0 = u[1] * w[2] - u[2] * w[1];
+    const T c1 = u[2] * w[0] - u[0] * w[2];
+    const T c2 = u[0] * w[1] - u[1] * w[0];
+    const T n = c0 * c0 + c1 * c1 + c2 * c2;
+    if (n > best_n) { best[0] = c0; best[1] = c1; best[2] = c2; best_n = n; }
+  }
+  const T inv_n = T(1) / std::sqrt(best_n > tiny ? best_n : tiny);
+  T v0 = best[0] * inv_n, v1 = best[1] * inv_n, v2 = best[2] * inv_n;
+
+  const T rho = v0 * (a00 * v0 + a01 * v1 + a02 * v2) +
+                v1 * (a01 * v0 + a11 * v1 + a12 * v2) +
+                v2 * (a02 * v0 + a12 * v1 + a22 * v2);
+  const T c00 = a00 - rho, c11 = a11 - rho, c22 = a22 - rho;
+  const T adj00 = c11 * c22 - a12 * a12;
+  const T adj01 = a02 * a12 - a01 * c22;
+  const T adj02 = a01 * a12 - a02 * c11;
+  const T adj11 = c00 * c22 - a02 * a02;
+  const T adj12 = a01 * a02 - c00 * a12;
+  const T adj22 = c00 * c11 - a01 * a01;
+  const T w0 = adj00 * v0 + adj01 * v1 + adj02 * v2;
+  const T w1 = adj01 * v0 + adj11 * v1 + adj12 * v2;
+  const T w2 = adj02 * v0 + adj12 * v1 + adj22 * v2;
+  const T wn2 = w0 * w0 + w1 * w1 + w2 * w2;
+  if (wn2 > tiny) {
+    const T iw = T(1) / std::sqrt(wn2);
+    v[0] = w0 * iw; v[1] = w1 * iw; v[2] = w2 * iw;
+  } else {
+    v[0] = v0; v[1] = v1; v[2] = v2;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// HO: Harker-O'Leary minimal-set solve.  Mirrors sks_tpu/ops/ho.py ho_core —
+// isotropic normalization, closed-form elimination of (h1..h6) through
+// G = C^T C, residual system D g = 0, closed-form 3x3 smallest eigenvector
+// (the reference uses an iterative 8x3 SVD instead).
+template <typename T>
+inline void ho_core_native(const T* s, const T* t, T* h) {
+  const T tiny = std::numeric_limits<T>::min();
+  const T quarter = T(0.25);
+  const T sqrt2 = T(1.4142135623730951);
+
+  auto iso = [&](const T* p, T* dx, T* dy, T& cx, T& cy, T& sc) {
+    cx = (p[0] + p[2] + p[4] + p[6]) * quarter;
+    cy = (p[1] + p[3] + p[5] + p[7]) * quarter;
+    T mean = T(0);
+    for (int i = 0; i < 4; ++i) {
+      dx[i] = p[2 * i] - cx;
+      dy[i] = p[2 * i + 1] - cy;
+      mean += std::sqrt(dx[i] * dx[i] + dy[i] * dy[i]);
+    }
+    mean *= quarter;
+    sc = sqrt2 / (mean > tiny ? mean : tiny);
+    for (int i = 0; i < 4; ++i) { dx[i] *= sc; dy[i] *= sc; }
+  };
+
+  T sx[4], sy[4], tx[4], ty[4], cx1, cy1, s1, cx2, cy2, s2;
+  iso(s, sx, sy, cx1, cy1, s1);
+  iso(t, tx, ty, cx2, cy2, s2);
+
+  // G = C^T C (symmetric) and its adjugate inverse.
+  T g00 = 0, g01 = 0, g02 = 0, g11 = 0, g12 = 0;
+  for (int i = 0; i < 4; ++i) {
+    g00 += sx[i] * sx[i];
+    g01 += sx[i] * sy[i];
+    g02 += sx[i];
+    g11 += sy[i] * sy[i];
+    g12 += sy[i];
+  }
+  const T g22 = T(4);
+  const T ca = g11 * g22 - g12 * g12;
+  const T cb = g02 * g12 - g01 * g22;
+  const T cc = g01 * g12 - g02 * g11;
+  const T cd = g00 * g22 - g02 * g02;
+  const T ce = g01 * g02 - g00 * g12;
+  const T cf = g00 * g11 - g01 * g01;
+  const T dinv = T(1) / (g00 * ca + g01 * cb + g02 * cc);
+  const T gi[3][3] = {{ca * dinv, cb * dinv, cc * dinv},
+                      {cb * dinv, cd * dinv, ce * dinv},
+                      {cc * dinv, ce * dinv, cf * dinv}};
+
+  // reduced(vals): rows R = (P - I) diag(vals) C and M = C^T diag(vals) C.
+  auto reduced = [&](const T* vals, T rows[4][3], T mmat[3][3]) {
+    mmat[0][0] = mmat[0][1] = mmat[0][2] = T(0);
+    mmat[1][1] = mmat[1][2] = mmat[2][2] = T(0);
+    for (int i = 0; i < 4; ++i) {
+      mmat[0][0] += vals[i] * sx[i] * sx[i];
+      mmat[0][1] += vals[i] * sx[i] * sy[i];
+      mmat[0][2] += vals[i] * sx[i];
+      mmat[1][1] += vals[i] * sy[i] * sy[i];
+      mmat[1][2] += vals[i] * sy[i];
+      mmat[2][2] += vals[i];
+    }
+    mmat[1][0] = mmat[0][1]; mmat[2][0] = mmat[0][2]; mmat[2][1] = mmat[1][2];
+    T k[3][3];
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c)
+        k[r][c] = gi[r][0] * mmat[0][c] + gi[r][1] * mmat[1][c] +
+                  gi[r][2] * mmat[2][c];
+    for (int i = 0; i < 4; ++i)
+      for (int c = 0; c < 3; ++c) {
+        const T proj = sx[i] * k[0][c] + sy[i] * k[1][c] + k[2][c];
+        const T ci = (c == 0) ? sx[i] : (c == 1) ? sy[i] : T(1);
+        rows[i][c] = proj - vals[i] * ci;
+      }
+  };
+
+  T rx[4][3], ry[4][3], mx[3][3], my[3][3];
+  reduced(tx, rx, mx);
+  reduced(ty, ry, my);
+
+  T d00 = 0, d01 = 0, d02 = 0, d11 = 0, d12 = 0, d22 = 0;
+  for (int i = 0; i < 4; ++i) {
+    d00 += rx[i][0] * rx[i][0] + ry[i][0] * ry[i][0];
+    d01 += rx[i][0] * rx[i][1] + ry[i][0] * ry[i][1];
+    d02 += rx[i][0] * rx[i][2] + ry[i][0] * ry[i][2];
+    d11 += rx[i][1] * rx[i][1] + ry[i][1] * ry[i][1];
+    d12 += rx[i][1] * rx[i][2] + ry[i][1] * ry[i][2];
+    d22 += rx[i][2] * rx[i][2] + ry[i][2] * ry[i][2];
+  }
+  T g[3];
+  smallest_eigvec3(d00, d01, d02, d11, d12, d22, g);
+
+  T u[3], v[3];
+  for (int r = 0; r < 3; ++r) {
+    T wx = mx[r][0] * g[0] + mx[r][1] * g[1] + mx[r][2] * g[2];
+    T wy = my[r][0] * g[0] + my[r][1] * g[1] + my[r][2] * g[2];
+    u[r] = wx;  // reuse: gi applied below
+    v[r] = wy;
+  }
+  T uu[3], vv[3];
+  for (int r = 0; r < 3; ++r) {
+    uu[r] = gi[r][0] * u[0] + gi[r][1] * u[1] + gi[r][2] * u[2];
+    vv[r] = gi[r][0] * v[0] + gi[r][1] * v[1] + gi[r][2] * v[2];
+  }
+  const T hn[9] = {uu[0], uu[1], uu[2], vv[0], vv[1], vv[2], g[0], g[1], g[2]};
+
+  // Denormalize: H = T2^{-1} Hn T1 (isotropic T's).
+  T rt1[3][3];
+  for (int r = 0; r < 3; ++r) {
+    const T h0 = hn[3 * r], h1 = hn[3 * r + 1], h2 = hn[3 * r + 2];
+    rt1[r][0] = h0 * s1;
+    rt1[r][1] = h1 * s1;
+    rt1[r][2] = h2 - s1 * (h0 * cx1 + h1 * cy1);
+  }
+  const T is2 = T(1) / s2;
+  for (int c = 0; c < 3; ++c) {
+    h[c] = rt1[0][c] * is2 + cx2 * rt1[2][c];
+    h[3 + c] = rt1[1][c] * is2 + cy2 * rt1[2][c];
+    h[6 + c] = rt1[2][c];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Cyclic Jacobi eigendecomposition of a symmetric n x n (fixed sweeps), and
+// the smallest-eigenvalue column — mirrors sks_tpu/ops/linalg.py jacobi_eigh
+// (a deliberately different algorithm from the reference's Golub-Reinsch
+// device SVD, SURVEY §7(a)).
+template <typename T, int N>
+inline void jacobi_smallest_col(T a[N][N], T* v_out, int sweeps) {
+  T v[N][N] = {};
+  for (int i = 0; i < N; ++i) v[i][i] = T(1);
+  for (int s = 0; s < sweeps; ++s) {
+    // Converged? (CPU-side luxury the lane-parallel TPU kernel forgoes:
+    // data-dependent early exit once the off-diagonal mass is negligible.)
+    T off = T(0), dia = T(0);
+    for (int p = 0; p < N; ++p) {
+      dia += a[p][p] * a[p][p];
+      for (int q = p + 1; q < N; ++q) off += a[p][q] * a[p][q];
+    }
+    // off/dia are sums of squares; (100 eps)^2 relative off-mass gives
+    // eigenvectors accurate to ~100 eps — converged for this use.
+    const T eps = T(100) * std::numeric_limits<T>::epsilon();
+    if (off <= eps * eps * dia) break;
+    for (int p = 0; p < N - 1; ++p) {
+      for (int q = p + 1; q < N; ++q) {
+        const T apq = a[p][q];
+        if (std::fabs(apq) < std::numeric_limits<T>::min()) continue;
+        const T theta = (a[q][q] - a[p][p]) / (T(2) * apq);
+        const T tt = (theta >= 0 ? T(1) : T(-1)) /
+                     (std::fabs(theta) + std::sqrt(theta * theta + T(1)));
+        const T c = T(1) / std::sqrt(tt * tt + T(1));
+        const T sn = tt * c;
+        // Symmetric two-sided update, touching each affected entry once.
+        const T app = a[p][p], aqq = a[q][q];
+        a[p][p] = app - tt * apq;
+        a[q][q] = aqq + tt * apq;
+        a[p][q] = a[q][p] = T(0);
+        for (int k = 0; k < N; ++k) {
+          if (k == p || k == q) continue;
+          const T akp = a[k][p], akq = a[k][q];
+          a[k][p] = a[p][k] = c * akp - sn * akq;
+          a[k][q] = a[q][k] = sn * akp + c * akq;
+        }
+        for (int k = 0; k < N; ++k) {
+          const T vkp = v[k][p], vkq = v[k][q];
+          v[k][p] = c * vkp - sn * vkq;
+          v[k][q] = sn * vkp + c * vkq;
+        }
+      }
+    }
+  }
+  int best = 0;
+  for (int i = 1; i < N; ++i)
+    if (a[i][i] < a[best][best]) best = i;
+  for (int i = 0; i < N; ++i) v_out[i] = v[i][best];
+}
+
+// ---------------------------------------------------------------------------
+// NDLT: Hartley-normalized DLT via the block-structured 9x9 normal matrix
+// and fixed-sweep Jacobi.  Mirrors sks_tpu/ops/ndlt.py ndlt_core (the
+// reference builds a dense 8x9 stack and calls cv::eigen / device SVD).
+template <typename T>
+inline void ndlt_core_native(const T* s, const T* t, T* h) {
+  const T tiny = std::numeric_limits<float>::min();
+  const T quarter = T(0.25);
+
+  auto hartley = [&](const T* p, T* nx, T* ny, T& cx, T& cy, T& sx, T& sy) {
+    cx = (p[0] + p[2] + p[4] + p[6]) * quarter;
+    cy = (p[1] + p[3] + p[5] + p[7]) * quarter;
+    T devx = 0, devy = 0;
+    for (int i = 0; i < 4; ++i) {
+      nx[i] = p[2 * i] - cx;
+      ny[i] = p[2 * i + 1] - cy;
+      devx += std::fabs(nx[i]);
+      devy += std::fabs(ny[i]);
+    }
+    devx *= quarter; devy *= quarter;
+    sx = T(1) / (devx > tiny ? devx : tiny);
+    sy = T(1) / (devy > tiny ? devy : tiny);
+    for (int i = 0; i < 4; ++i) { nx[i] *= sx; ny[i] *= sy; }
+  };
+
+  T nx[4], ny[4], tx[4], ty[4];
+  T cx1, cy1, sx1, sy1, cx2, cy2, sx2, sy2;
+  hartley(s, nx, ny, cx1, cy1, sx1, sy1);
+  hartley(t, tx, ty, cx2, cy2, sx2, sy2);
+
+  // Weighted sums of p p^T with weights 1, -X', -Y', X'^2 + Y'^2.
+  auto wsum = [&](const T* w, T* e) {
+    e[0] = e[1] = e[2] = e[3] = e[4] = e[5] = T(0);
+    for (int i = 0; i < 4; ++i) {
+      e[0] += w[i] * nx[i] * nx[i];
+      e[1] += w[i] * nx[i] * ny[i];
+      e[2] += w[i] * nx[i];
+      e[3] += w[i] * ny[i] * ny[i];
+      e[4] += w[i] * ny[i];
+      e[5] += w[i];
+    }
+  };
+  const T ones[4] = {1, 1, 1, 1};
+  T wx[4], wy[4], wd[4];
+  for (int i = 0; i < 4; ++i) {
+    wx[i] = -tx[i];
+    wy[i] = -ty[i];
+    wd[i] = tx[i] * tx[i] + ty[i] * ty[i];
+  }
+  T e1[6], ex[6], ey[6], ed[6];
+  wsum(ones, e1);
+  wsum(wx, ex);
+  wsum(wy, ey);
+  wsum(wd, ed);
+
+  auto put_block = [](T a[9][9], int r0, int c0, const T* e) {
+    a[r0][c0] = e[0]; a[r0][c0 + 1] = e[1]; a[r0][c0 + 2] = e[2];
+    a[r0 + 1][c0] = e[1]; a[r0 + 1][c0 + 1] = e[3]; a[r0 + 1][c0 + 2] = e[4];
+    a[r0 + 2][c0] = e[2]; a[r0 + 2][c0 + 1] = e[4]; a[r0 + 2][c0 + 2] = e[5];
+  };
+  T a[9][9] = {};
+  put_block(a, 0, 0, e1);
+  put_block(a, 3, 3, e1);
+  put_block(a, 0, 6, ex);
+  put_block(a, 6, 0, ex);
+  put_block(a, 3, 6, ey);
+  put_block(a, 6, 3, ey);
+  put_block(a, 6, 6, ed);
+
+  T hn[9];
+  jacobi_smallest_col<T, 9>(a, hn, 8);
+
+  // Denormalize: H = T2^{-1} Hn T1 (anisotropic Hartley T's).
+  T rt1[3][3];
+  for (int r = 0; r < 3; ++r) {
+    const T h0 = hn[3 * r], h1 = hn[3 * r + 1], h2 = hn[3 * r + 2];
+    rt1[r][0] = h0 * sx1;
+    rt1[r][1] = h1 * sy1;
+    rt1[r][2] = h2 - h0 * sx1 * cx1 - h1 * sy1 * cy1;
+  }
+  const T isx2 = T(1) / sx2, isy2 = T(1) / sy2;
+  for (int c = 0; c < 3; ++c) {
+    h[c] = rt1[0][c] * isx2 + cx2 * rt1[2][c];
+    h[3 + c] = rt1[1][c] * isy2 + cy2 * rt1[2][c];
+    h[6 + c] = rt1[2][c];
+  }
+}
+
 template <typename T>
 inline void normalize9(T* h) {
   const T inv = T(1) / h[8];
@@ -176,6 +598,35 @@ void sks_sks_f64(const double* s, const double* t, double* o, int64_t n,
                  int nrm) {
   batch<double, sks_core<double>>(s, t, o, n, nrm);
 }
+void sks_ge_f32(const float* s, const float* t, float* o, int64_t n, int nrm) {
+  batch<float, ge_core_native<float>>(s, t, o, n, nrm);
+}
+void sks_ge_f64(const double* s, const double* t, double* o, int64_t n,
+                int nrm) {
+  batch<double, ge_core_native<double>>(s, t, o, n, nrm);
+}
+void sks_gpt_f32(const float* s, const float* t, float* o, int64_t n, int nrm) {
+  batch<float, gpt_core_native<float>>(s, t, o, n, nrm);
+}
+void sks_gpt_f64(const double* s, const double* t, double* o, int64_t n,
+                 int nrm) {
+  batch<double, gpt_core_native<double>>(s, t, o, n, nrm);
+}
+void sks_ho_f32(const float* s, const float* t, float* o, int64_t n, int nrm) {
+  batch<float, ho_core_native<float>>(s, t, o, n, nrm);
+}
+void sks_ho_f64(const double* s, const double* t, double* o, int64_t n,
+                int nrm) {
+  batch<double, ho_core_native<double>>(s, t, o, n, nrm);
+}
+void sks_ndlt_f32(const float* s, const float* t, float* o, int64_t n,
+                  int nrm) {
+  batch<float, ndlt_core_native<float>>(s, t, o, n, nrm);
+}
+void sks_ndlt_f64(const double* s, const double* t, double* o, int64_t n,
+                  int nrm) {
+  batch<double, ndlt_core_native<double>>(s, t, o, n, nrm);
+}
 
 // Hot-loop nanoseconds per solve (reference Table 5 configuration).
 double sks_bench_aca_f32(const float* s, const float* t, int64_t iters) {
@@ -189,6 +640,30 @@ double sks_bench_sks_f32(const float* s, const float* t, int64_t iters) {
 }
 double sks_bench_sks_f64(const double* s, const double* t, int64_t iters) {
   return hot_loop_ns<double, sks_core<double>>(s, t, iters);
+}
+double sks_bench_ge_f32(const float* s, const float* t, int64_t iters) {
+  return hot_loop_ns<float, ge_core_native<float>>(s, t, iters);
+}
+double sks_bench_ge_f64(const double* s, const double* t, int64_t iters) {
+  return hot_loop_ns<double, ge_core_native<double>>(s, t, iters);
+}
+double sks_bench_gpt_f32(const float* s, const float* t, int64_t iters) {
+  return hot_loop_ns<float, gpt_core_native<float>>(s, t, iters);
+}
+double sks_bench_gpt_f64(const double* s, const double* t, int64_t iters) {
+  return hot_loop_ns<double, gpt_core_native<double>>(s, t, iters);
+}
+double sks_bench_ho_f32(const float* s, const float* t, int64_t iters) {
+  return hot_loop_ns<float, ho_core_native<float>>(s, t, iters);
+}
+double sks_bench_ho_f64(const double* s, const double* t, int64_t iters) {
+  return hot_loop_ns<double, ho_core_native<double>>(s, t, iters);
+}
+double sks_bench_ndlt_f32(const float* s, const float* t, int64_t iters) {
+  return hot_loop_ns<float, ndlt_core_native<float>>(s, t, iters);
+}
+double sks_bench_ndlt_f64(const double* s, const double* t, int64_t iters) {
+  return hot_loop_ns<double, ndlt_core_native<double>>(s, t, iters);
 }
 
 // Correspondence-file reader (reference format: count, then x1 y1 x2 y2).

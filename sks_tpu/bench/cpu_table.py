@@ -1,10 +1,11 @@
 """CPU latency table — the reference Table 5 configuration.
 
 Reproduces the shape of ``imgs/CPU-runtime.png`` (BASELINE.md): mean time per
-4-point solve, single core, cache-hot 10M-iteration loop.  ACA/SKS run through
-the native C++ hot loop (the honest analogue of the reference's MSVC build);
-the OpenCV-based baselines have no C++ twin here — their JAX-CPU batched
-throughput per solve is reported instead (marked ``jax``).
+4-point solve, single core, cache-hot 10M-iteration loop.  All six solvers
+run through the native C++ hot loop (the honest analogue of the reference's
+MSVC build; each kernel mirrors the repo's own ops/ derivation — see
+``native/src/sks_native.cpp``).  The JAX-CPU batched per-solve cost is also
+reported for the linear-algebra baselines as a cross-check (marked ``jax``).
 """
 
 from __future__ import annotations
@@ -37,15 +38,28 @@ def cpu_table(iters: int = 2_000_000, batch: int = 4096) -> dict:
     src4 = src_all[idx].astype(np.float64)
     tar4 = tar_all[idx].astype(np.float64)
 
+    # Map native kernel name -> roster name.
+    native_ref = {
+        "aca": "aca", "sks": "sks", "ge": "rho_ge",
+        "gpt": "gpt_lu", "ho": "ho", "ndlt": "ndlt",
+    }
     out = {}
     if available():
-        for alg in ("aca", "sks"):
+        for alg, ref_name in native_ref.items():
+            # The slow solvers get proportionally fewer hot-loop iterations
+            # (the reference runs 10M across the board, but its NDLT cell
+            # alone is 125 s; scale to keep the suite minutes, precision ok).
+            scale = {"ho": 10, "ndlt": 100, "gpt": 10}.get(alg, 1)
             for dt, npdt in (("f32", np.float32), ("f64", np.float64)):
-                ns = bench_hot_loop(alg, src4.astype(npdt), tar4.astype(npdt),
-                                    iters)
-                out[(alg, dt)] = {
+                # Best-of-3: the box is a shared 2-vCPU VM; single runs jitter.
+                ns = min(
+                    bench_hot_loop(alg, src4.astype(npdt), tar4.astype(npdt),
+                                   max(iters // scale, 10_000))
+                    for _ in range(3)
+                )
+                out[(ref_name, dt)] = {
                     "us": ns / 1e3,
-                    "ref_us": REFERENCE_US.get((alg, dt)),
+                    "ref_us": REFERENCE_US.get((ref_name, dt)),
                     "mode": "native-hot-loop",
                 }
 
@@ -73,7 +87,7 @@ def cpu_table(iters: int = 2_000_000, batch: int = 4096) -> dict:
         jax.block_until_ready(outp)
         per = (time.perf_counter() - t0) / reps / batch
         key_dt = "f32" if name == "rho_ge" else "f64"
-        out[(name, "f32")] = {
+        out[(name, "f32/jax")] = {
             "us": per * 1e6,
             "ref_us": REFERENCE_US.get((name, key_dt)),
             "mode": "jax-cpu-batched",

@@ -27,8 +27,10 @@ from sks_tpu.geom.homography import apply_homography, homography_from_pose
 __all__ = [
     "plane_texture",
     "photo_texture",
+    "available_photos",
     "warp_image",
     "photometric_jitter",
+    "gaussian_blur",
     "planar_pair",
     "planar_sequence",
 ]
@@ -37,20 +39,36 @@ __all__ = [
 # needed).  A real photo as the plane texture grounds the feature pipeline in
 # genuine photographic statistics — sensor texture, lighting gradients,
 # natural edge distributions — the role the reference's wall photo plays for
-# its SIFT fixture (`CPU_Runtime Test/orig_pts_wall.txt`).
-_PHOTO_CANDIDATES = (
+# its SIFT fixture (`CPU_Runtime Test/orig_pts_wall.txt`).  Three distinct
+# scenes (portrait / close-up flora / urban architecture) so the photo
+# protocol is not anchored to one image's statistics.
+_PHOTO_CANDIDATES = {
     # matplotlib's sample portrait (512x600 RGB photograph).
-    ("matplotlib", "mpl-data/sample_data/grace_hopper.jpg"),
-)
+    "hopper": ("matplotlib", "mpl-data/sample_data/grace_hopper.jpg"),
+    # scikit-learn's sample photos (427x640 RGB photographs).
+    "flower": ("sklearn", "datasets/images/flower.jpg"),
+    "china": ("sklearn", "datasets/images/china.jpg"),
+}
 
 
-def photo_texture(shape: tuple = (480, 640), dtype=jnp.float32):
+def available_photos() -> tuple:
+    """Names of bundled photographs actually present in this environment."""
+    return tuple(
+        name for name in _PHOTO_CANDIDATES
+        if photo_texture(name=name, _probe=True) is not None
+    )
+
+
+def photo_texture(shape: tuple = (480, 640), dtype=jnp.float32,
+                  name: str = "hopper", _probe: bool = False):
     """A real photograph as a [0, 1] grayscale plane texture, or None.
 
-    Loads the first available bundled photo (see ``_PHOTO_CANDIDATES``),
-    converts to luminance, and resizes to ``shape``.  Returns None when no
-    photo or loader (PIL) is available so callers can fall back to
-    :func:`plane_texture` — keeps the module import-clean in minimal envs.
+    Loads the named bundled photo (see ``_PHOTO_CANDIDATES``), converts to
+    luminance, center-crops to the target aspect ratio (no anisotropic
+    stretch — the photographic statistics survive the resize), and resizes
+    to ``shape``.  Returns None when the photo or loader (PIL) is missing so
+    callers can fall back to :func:`plane_texture` — keeps the module
+    import-clean in minimal envs.
     """
     import importlib
     import os
@@ -59,18 +77,34 @@ def photo_texture(shape: tuple = (480, 640), dtype=jnp.float32):
         from PIL import Image
     except ImportError:
         return None
-    for pkg, rel in _PHOTO_CANDIDATES:
-        try:
-            root = os.path.dirname(importlib.import_module(pkg).__file__)
-        except ImportError:
-            continue
-        path = os.path.join(root, rel)
-        if not os.path.isfile(path):
-            continue
-        img = Image.open(path).convert("L")
-        arr = jnp.asarray(img, dtype) / 255.0
-        return jax.image.resize(arr, shape, "linear")
-    return None
+    if name not in _PHOTO_CANDIDATES:
+        raise ValueError(
+            f"unknown photo {name!r}; candidates: {sorted(_PHOTO_CANDIDATES)}"
+        )
+    pkg, rel = _PHOTO_CANDIDATES[name]
+    try:
+        root = os.path.dirname(importlib.import_module(pkg).__file__)
+    except ImportError:
+        return None
+    path = os.path.join(root, rel)
+    if not os.path.isfile(path):
+        return None
+    if _probe:
+        return path
+    img = Image.open(path).convert("L")
+    arr = jnp.asarray(img, dtype) / 255.0
+    # Center-crop to the target aspect ratio before resizing.
+    h0, w0 = arr.shape
+    th, tw = shape
+    if h0 * tw > w0 * th:  # too tall: crop rows
+        keep = max(1, (w0 * th) // tw)
+        off = (h0 - keep) // 2
+        arr = arr[off:off + keep, :]
+    elif h0 * tw < w0 * th:  # too wide: crop cols
+        keep = max(1, (h0 * tw) // th)
+        off = (w0 - keep) // 2
+        arr = arr[:, off:off + keep]
+    return jax.image.resize(arr, shape, "linear")
 
 
 def plane_texture(key: Array, shape: tuple = (480, 640), octaves: int = 5,
@@ -144,10 +178,27 @@ def photometric_jitter(key: Array, img: Array, noise: float = 0.01,
     return jnp.clip(x, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("shape",))
+def gaussian_blur(img: Array, sigma: float, radius: int | None = None) -> Array:
+    """Separable Gaussian blur (defocus/motion-nuisance model for pairs)."""
+    if radius is None:
+        radius = max(1, int(3.0 * sigma + 0.5))
+    xs = jnp.arange(-radius, radius + 1, dtype=img.dtype)
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / jnp.sum(k)
+    pad = [(radius, radius), (0, 0)]
+    x = jnp.pad(img, pad, mode="edge")
+    x = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),
+                 in_axes=1, out_axes=1)(x)
+    x = jnp.pad(x, [(0, 0), (radius, radius)], mode="edge")
+    x = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(x)
+    return x
+
+
+@partial(jax.jit, static_argnames=("shape", "blur_sigma"))
 def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
                 max_angle: float = 0.15, max_shift: float = 0.25,
-                noise: float = 0.01, texture: Array | None = None):
+                noise: float = 0.01, texture: Array | None = None,
+                blur_sigma: float = 0.0):
     """One HPatches-style planar pair: (img1, img2, H_true 1->2 pixels).
 
     img1 is a fronto-parallel view of the textured plane; img2 the same plane
@@ -155,10 +206,20 @@ def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
     photometric jitter on both views.  ``texture`` optionally supplies the
     plane's pixels (e.g. a real photograph via :func:`photo_texture` — the
     HPatches ``v_*`` viewpoint protocol: one real planar scene, many poses);
-    default is the procedural :func:`plane_texture`.
+    default is the procedural :func:`plane_texture`.  ``blur_sigma`` > 0
+    defocus-blurs the second view (hard-protocol nuisance); larger
+    ``max_angle``/``max_shift`` give stronger viewpoint/scale change (the z
+    component of the shift changes apparent scale by up to
+    1/(1 - max_shift/3)).
     """
     from sks_tpu.utils.synth import random_rotation
 
+    if texture is not None:
+        # shape is static: a mismatched texture would silently build K for
+        # the wrong frame (principal point off-center) — fail at trace time.
+        assert tuple(texture.shape[-2:]) == tuple(shape), (
+            f"texture shape {texture.shape[-2:]} != requested {shape}"
+        )
     kt, kr, ks, kp1, kp2 = jax.random.split(key, 5)
     h, w = shape
     k_mat = jnp.asarray(
@@ -173,22 +234,33 @@ def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
     base = plane_texture(kt, shape) if texture is None else texture
     img1 = photometric_jitter(kp1, base, noise)
     img2 = photometric_jitter(kp2, warp_image(base, h_true), noise)
+    if blur_sigma > 0.0:
+        img2 = gaussian_blur(img2, blur_sigma)
     return img1, img2, h_true
 
 
-@partial(jax.jit, static_argnames=("shape", "num_frames"))
+@partial(jax.jit, static_argnames=("shape", "num_frames", "loop"))
 def planar_sequence(key: Array, num_frames: int = 16,
                     shape: tuple = (240, 320), focal: float = 300.0,
-                    noise: float = 0.005):
+                    noise: float = 0.005, texture: Array | None = None,
+                    loop: bool = False):
     """A camera orbiting over a textured plane: frames + GT poses.
 
     Smooth trajectory (lateral sweep with gentle yaw); every frame is a
     render of the same plane texture under the exact pose-induced
-    homography.  Returns (frames (T, H, W), poses_gt (T, 4, 4) cam->world,
-    k_mat (3, 3)) with the plane at z = d in frame 0 (d = 3).
+    homography.  ``texture`` optionally supplies the plane pixels (e.g. a
+    real photograph) like :func:`planar_pair`.  ``loop=True`` closes the
+    trajectory (the camera returns toward its start pose) so frame 0 and
+    frame T-1 overlap — the protocol for loop-closure experiments.  Returns
+    (frames (T, H, W), poses_gt (T, 4, 4) cam->world, k_mat (3, 3)) with the
+    plane at z = d in frame 0 (d = 3).
     """
     from sks_tpu.utils.synth import random_rotation
 
+    if texture is not None:
+        assert tuple(texture.shape[-2:]) == tuple(shape), (
+            f"texture shape {texture.shape[-2:]} != requested {shape}"
+        )
     kt, kp, kn0 = jax.random.split(key, 3)
     h, w = shape
     k_mat = jnp.asarray(
@@ -197,15 +269,25 @@ def planar_sequence(key: Array, num_frames: int = 16,
     )
     d = jnp.asarray(3.0, jnp.float32)
     n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-    base = plane_texture(kt, shape)
+    base = plane_texture(kt, shape) if texture is None else texture
 
     ts = jnp.arange(num_frames, dtype=jnp.float32) / max(num_frames - 1, 1)
-    # Lateral sweep + slight push-in + gentle yaw/roll ramp.
-    tx = 0.8 * ts
-    ty = 0.2 * jnp.sin(ts * jnp.pi)
-    tz = 0.15 * ts
-    yaw = 0.12 * ts
-    roll = 0.06 * jnp.sin(ts * 2 * jnp.pi)
+    if loop:
+        # Closed circuit: sinusoidal out-and-back in x, a figure-ready y
+        # bulge, no net push-in; the final pose nearly coincides with the
+        # start (genuine loop-closure geometry).
+        tx = 0.5 * jnp.sin(ts * 2 * jnp.pi)
+        ty = 0.25 * (1.0 - jnp.cos(ts * 2 * jnp.pi))
+        tz = 0.08 * jnp.sin(ts * 2 * jnp.pi)
+        yaw = 0.10 * jnp.sin(ts * 2 * jnp.pi)
+        roll = 0.05 * jnp.sin(ts * 2 * jnp.pi)
+    else:
+        # Lateral sweep + slight push-in + gentle yaw/roll ramp.
+        tx = 0.8 * ts
+        ty = 0.2 * jnp.sin(ts * jnp.pi)
+        tz = 0.15 * ts
+        yaw = 0.12 * ts
+        roll = 0.06 * jnp.sin(ts * 2 * jnp.pi)
 
     def rot(yaw_i, roll_i):
         cy, sy = jnp.cos(yaw_i), jnp.sin(yaw_i)

@@ -132,8 +132,10 @@ def _solve_score_kernel(thr_ref, pts_ref, w_ref, src_ref, tar_ref, score_ref,
     def _():
         score_ref[...] = jnp.zeros_like(score_ref)
 
-    s = [src_ref[i] for i in range(8)]
-    t = [tar_ref[i] for i in range(8)]
+    # Compute in f32 regardless of storage dtype (bf16 storage halves the
+    # dominant hypothesis stream; arithmetic stays full VPU precision).
+    s = [src_ref[i].astype(jnp.float32) for i in range(8)]
+    t = [tar_ref[i].astype(jnp.float32) for i in range(8)]
     h00, h01, h02, h10, h11, h12, h20, h21, h22 = aca_core(*s, *t)
     t2 = thr_ref[0]
 

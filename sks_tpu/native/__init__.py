@@ -1,7 +1,7 @@
 """ctypes bindings for the native CPU runtime (``native/libsks_native.so``).
 
 Auto-builds the library with ``make`` on first use if missing (g++ only, no
-external deps).  Provides: fp32/fp64 scalar-batch ACA/SKS solvers (the fp64
+external deps).  Provides: fp32/fp64 scalar-batch solvers for all six kernels (the fp64
 oracle — TPU has no native f64), the reference-format correspondence reader,
 and the reference-comparable hot-loop CPU benchmark (BASELINE.md Table 5).
 """
@@ -19,6 +19,7 @@ __all__ = [
     "available",
     "aca_batch",
     "sks_batch",
+    "solve_batch",
     "read_points",
     "bench_hot_loop",
 ]
@@ -42,7 +43,7 @@ def _load():
     f64p = ctypes.POINTER(ctypes.c_double)
     i64 = ctypes.c_int64
     for name, fp in (("f32", f32p), ("f64", f64p)):
-        for alg in ("aca", "sks"):
+        for alg in ("aca", "sks", "ge", "gpt", "ho", "ndlt"):
             fn = getattr(lib, f"sks_{alg}_{name}")
             fn.argtypes = [fp, fp, fp, i64, ctypes.c_int]
             fn.restype = None
@@ -93,6 +94,16 @@ def aca_batch(src, tar, normalize: bool = True) -> np.ndarray:
 def sks_batch(src, tar, normalize: bool = True) -> np.ndarray:
     """Native batched SKS: (..., 4, 2) x2 -> (..., 3, 3)."""
     return _batch("sks", np.asarray(src), np.asarray(tar), normalize)
+
+
+def solve_batch(alg: str, src, tar, normalize: bool = True) -> np.ndarray:
+    """Native batched minimal solve for any of the six solver kernels.
+
+    ``alg``: 'aca' | 'sks' | 'ge' | 'gpt' | 'ho' | 'ndlt' (the reference's
+    full Table-5 roster; each mirrors the repo's own ops/ derivation).
+    """
+    assert alg in ("aca", "sks", "ge", "gpt", "ho", "ndlt"), alg
+    return _batch(alg, np.asarray(src), np.asarray(tar), normalize)
 
 
 def read_points(path: str | Path, cap: int = 1 << 20):

@@ -8,6 +8,10 @@ the SfM layers, consensus and Schur reductions ride ICI collectives.
 from sks_tpu.parallel.mesh import make_mesh  # noqa: F401
 from sks_tpu.parallel.sharded_ransac import sharded_ransac_homography  # noqa: F401
 from sks_tpu.parallel.sharded_refine import sharded_ho_h, sharded_ndlt_h  # noqa: F401
+from sks_tpu.parallel.sharded_posegraph import (  # noqa: F401
+    shard_graph,
+    sharded_optimize_posegraph,
+)
 from sks_tpu.parallel.distributed import (  # noqa: F401
     global_mesh,
     initialize_multihost,

@@ -8,6 +8,8 @@ fixed-shape jit under the hood.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -16,7 +18,6 @@ from sks_tpu.robust.ransac import (
     RansacConfig,
     ransac_homography,
     ransac_homography_adaptive,
-    ransac_homography_fused,
 )
 
 __all__ = [
@@ -39,33 +40,41 @@ def find_homography(
     refine_iters: int = 2,
     confidence: float | None = None,
     sampling: str = "uniform",
+    point_mask: Array | None = None,
+    bf16_hypotheses: bool = False,
 ):
     """Robustly fit H mapping src -> tar (the ``cv2.findHomography`` shape).
 
     Args:
-      src, tar: (N, 2) matched points, N >= 4.
+      src, tar: (..., N, 2) matched points, N >= 4.  Leading batch dims are
+        vmapped (one fit per batch element; same hypothesis budget each).
       method: 'ransac' (inlier counting), 'msac', 'magsac' (sigma-marginalized
-        scoring), 'lmeds' (threshold-free least-median), or 'fused' (Pallas
-        fused solve+score hot path, TPU).
+        scoring), 'lmeds' (threshold-free least-median), or 'fused' (force the
+        Pallas fused solve+score hot path).
       ransac_reproj_threshold: inlier threshold in pixels (symmetric
         transfer error, like cv2's default semantic).
       max_iters: hypothesis budget.  Without ``confidence`` all hypotheses
         are evaluated at once (fixed shape, no early exit to tune; rounded up
-        to a multiple of 128 for 'fused').  With ``confidence`` it is the
-        worst-case cap of the early-exit loop.
+        to a multiple of 128 on the fused path).  With ``confidence`` it is
+        the worst-case cap of the early-exit loop.
       solver: minimal solver for hypotheses ('aca', 'sks', 'rho_ge', ...).
       key: PRNG key (default: PRNGKey(0) — deterministic).
       refine_iters: IRLS local-optimization rounds on the consensus set.
       confidence: if set (e.g. 0.995, the cv2 default semantic), run the
         early-exit loop (:func:`ransac_homography_adaptive`): chunks of 256
         hypotheses until the termination bound is met or ``max_iters`` total.
-        Not supported with method='fused'.
+        Composes with the fused path (each chunk runs the Pallas kernel).
       sampling: 'uniform', or 'prosac' progressive sampling (src/tar must be
-        sorted by descending match quality). Not supported with
-        method='fused'.
+        sorted by descending match quality).  Composes with the fused path.
+      point_mask: optional (..., N) bool validity for padded fixed-shape
+        match arrays — masked points never score or refine (every internal
+        path supports this; now the cv2-shaped surface does too).
+      bf16_hypotheses: store minimal sets in bfloat16 on the fused path
+        (halves the dominant HBM stream; compute stays fp32).
 
     Returns:
-      (H (3, 3) jnp array normalized to H[2,2]=1, mask (N,) bool inliers).
+      (H (..., 3, 3) jnp array normalized to H[..., 2, 2]=1,
+       mask (..., N) bool inliers).
     """
     if method not in _METHODS:
         raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
@@ -74,57 +83,73 @@ def find_homography(
     src = jnp.asarray(src)
     tar = jnp.asarray(tar)
 
-    if method == "fused" and confidence is not None:
-        raise ValueError("confidence-based early exit is not supported with "
-                         "method='fused' (fixed-batch Pallas path)")
-    if method == "fused" and sampling != "uniform":
-        raise ValueError("method='fused' supports only uniform sampling")
-
+    scoring = {"ransac": "inliers", "fused": "inliers"}.get(method, method)
     # On TPU the fused Pallas kernel IS the production path: route eligible
     # configurations through it automatically (identical semantics to the
-    # general path with solver='aca', modulo hypothesis-sampling RNG).
-    scoring = {"ransac": "inliers"}.get(method, method)
-    auto_fused = (
+    # general path with solver='aca' — the top-K candidates are re-scored on
+    # the XLA path before selection).
+    fused = method == "fused" or (
         method in ("ransac", "msac", "magsac")
         and solver == "aca"
-        and confidence is None
-        and sampling == "uniform"
         and jax.default_backend() == "tpu"
     )
-    if method == "fused" or auto_fused:
-        b = -(-max_iters // 128) * 128
-        config = RansacConfig(
-            num_hypotheses=b,
-            threshold=ransac_reproj_threshold,
-            solver="aca",
-            refine_iters=refine_iters,
-            scoring="inliers" if method == "fused" else scoring,
-        )
-        res = ransac_homography_fused(key, src, tar, config)
-    elif confidence is not None:
+    if fused and method == "fused":
+        solver = "aca"
+
+    if confidence is not None:
         chunk = min(256, max_iters)
+        if fused:
+            chunk = -(-chunk // 128) * 128
         config = RansacConfig(
             num_hypotheses=chunk,
             threshold=ransac_reproj_threshold,
             solver=solver,
             refine_iters=refine_iters,
-            scoring={"ransac": "inliers"}.get(method, method),
+            scoring=scoring,
             sampling=sampling,
+            fused=fused,
+            bf16_hypotheses=bf16_hypotheses,
         )
-        res = ransac_homography_adaptive(
-            key, src, tar, config,
-            confidence=confidence, max_chunks=-(-max_iters // chunk),
+        fit = partial(
+            ransac_homography_adaptive,
+            config=config, confidence=confidence,
+            max_chunks=-(-max_iters // chunk),
         )
     else:
+        b = -(-max_iters // 128) * 128 if fused else max_iters
         config = RansacConfig(
-            num_hypotheses=max_iters,
+            num_hypotheses=b,
             threshold=ransac_reproj_threshold,
             solver=solver,
             refine_iters=refine_iters,
-            scoring={"ransac": "inliers"}.get(method, method),
+            scoring=scoring,
             sampling=sampling,
+            fused=fused,
+            bf16_hypotheses=bf16_hypotheses,
         )
-        res = ransac_homography(key, src, tar, config)
+        fit = partial(ransac_homography, config=config)
+
+    batch_dims = src.ndim - 2
+    if batch_dims:
+        bshape = src.shape[:-2]
+        srcf = src.reshape(-1, *src.shape[-2:])
+        tarf = tar.reshape(-1, *tar.shape[-2:])
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(srcf.shape[0])
+        )
+        pmf = (None if point_mask is None
+               else jnp.asarray(point_mask).reshape(-1, src.shape[-2]))
+        if pmf is None:
+            res = jax.vmap(lambda k, s, t: fit(k, s, t))(keys, srcf, tarf)
+        else:
+            res = jax.vmap(lambda k, s, t, m: fit(k, s, t, point_mask=m))(
+                keys, srcf, tarf, pmf
+            )
+        h = res.h.reshape(*bshape, 3, 3)
+        mask = res.inlier_mask.reshape(*bshape, src.shape[-2])
+        return h, mask
+
+    res = fit(key, src, tar, point_mask=point_mask)
     return res.h, res.inlier_mask
 
 

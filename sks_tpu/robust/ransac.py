@@ -103,6 +103,23 @@ class RansacConfig:
     # ops/df64.residual2_df64).  ~10x elementwise scoring cost; off by
     # default.
     df64_scoring: bool = False
+    # Final geometric polish: annealed-threshold Levenberg-Marquardt on the
+    # selected model's consensus (robust.polish.anneal_polish) — the
+    # reprojection-error refinement cv2.findHomography ends with, plus
+    # threshold annealing that beats cv2's single-level LM on real-photo
+    # pairs (bench_results/REAL_PHOTO.md).  O(N) per iteration; on by
+    # default.
+    final_polish: bool = True
+    # Evaluate hypothesis chunks with the Pallas fused solve+score kernel
+    # (TPU production path; kernels/aca_pallas.aca_solve_score_soa).
+    # Composes with the adaptive early-exit loop, PROSAC sampling, and
+    # point_mask.  Requires solver='aca', scoring in
+    # {'inliers','msac','magsac'}, num_hypotheses % 128 == 0.
+    fused: bool = False
+    # Store minimal-set coordinates in bfloat16 on the fused path (halves
+    # the dominant HBM stream; the kernel computes in fp32 — storage
+    # roundoff ~0.4 px on pixel coords, below any RANSAC threshold).
+    bf16_hypotheses: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -337,18 +354,70 @@ def _irls_refine(h0: Array, src: Array, tar: Array, iters: int,
     return jax.lax.fori_loop(0, iters, body, h0)
 
 
-def _eval_chunk(key, src, tar, config, point_mask, prosac_sizes=None):
-    """Sample + solve + score one fixed-shape batch; return its champion."""
-    n = src.shape[-2]
-    solver = SOLVERS_H[config.solver]
+def _sample_chunk(key, n, config, prosac_sizes=None):
     if config.sampling == "prosac":
-        idx = sample_minimal_sets_prosac(
+        return sample_minimal_sets_prosac(
             key, n, config.num_hypotheses, sizes=prosac_sizes
         )
-    elif config.sampling == "uniform":
-        idx = sample_minimal_sets(key, n, config.num_hypotheses)
-    else:
-        raise ValueError(f"unknown sampling {config.sampling!r}")
+    if config.sampling == "uniform":
+        return sample_minimal_sets(key, n, config.num_hypotheses)
+    raise ValueError(f"unknown sampling {config.sampling!r}")
+
+
+def _eval_chunk_fused(key, src, tar, config, point_mask, prosac_sizes=None):
+    """Fused-kernel twin of :func:`_eval_chunk` (same contract).
+
+    All B hypotheses are solved and scored inside one VMEM-resident Pallas
+    kernel (``kernels.aca_pallas.aca_solve_score_soa``) — only 4 B/hypothesis
+    of score reach HBM.  The top-K winning minimal sets are re-solved and
+    re-scored on the XLA path so downstream selection/polish sees exactly the
+    general path's numbers.  Composes with PROSAC indices, padded point sets,
+    and bf16 hypothesis storage (``config.bf16_hypotheses``).
+    """
+    from sks_tpu.kernels.aca_pallas import aca_solve_score_soa, to_soa
+
+    assert config.solver == "aca", "fused path is ACA-only"
+    assert config.scoring in ("inliers", "msac", "magsac"), config.scoring
+    b = config.num_hypotheses
+    assert b % 128 == 0, "num_hypotheses must be a multiple of 128 (SoA lanes)"
+    n = src.shape[-2]
+    idx = _sample_chunk(key, n, config, prosac_sizes)
+    s4 = jnp.take(src, idx, axis=0)
+    t4 = jnp.take(tar, idx, axis=0)
+
+    store = jnp.bfloat16 if config.bf16_hypotheses else src.dtype
+    pts = jnp.concatenate([src.T, tar.T], axis=0)  # (4, N) rows x,y,x',y'
+    t2 = jnp.asarray(fused_kernel_threshold(config), jnp.float32)
+    pw = None if point_mask is None else point_mask.astype(jnp.float32)
+    counts = aca_solve_score_soa(
+        to_soa(s4).astype(store), to_soa(t4).astype(store), pts, t2,
+        point_weights=pw, scoring=config.scoring,
+    )
+    # SoA index (j, lane) is hypothesis j*128 + lane: reshape(-1) is id order.
+    k_cand = max(1, min(config.lo_candidates, b))
+    _, top_idx = jax.lax.top_k(counts.reshape(-1), k_cand)
+
+    # Only the K winning minimal sets are re-solved on the XLA path.
+    s4k, t4k = s4[top_idx], t4[top_idx]
+    h_top = SOLVERS_H["aca"](s4k, t4k)
+    h_top = jnp.where(
+        aca_valid_mask(s4k, t4k)[..., None, None], h_top, jnp.nan
+    )
+    sc_top, inl = score_hypotheses(
+        h_top, src, tar, config.threshold, point_mask, config.scoring,
+        config.sigma_max, config.df64_scoring,
+    )
+    return h_top, sc_top, inl[0]
+
+
+def _eval_chunk(key, src, tar, config, point_mask, prosac_sizes=None):
+    """Sample + solve + score one fixed-shape batch; return its champion."""
+    if config.fused:
+        return _eval_chunk_fused(key, src, tar, config, point_mask,
+                                 prosac_sizes)
+    n = src.shape[-2]
+    solver = SOLVERS_H[config.solver]
+    idx = _sample_chunk(key, n, config, prosac_sizes)
     s4 = jnp.take(src, idx, axis=0)  # (B, 4, 2)
     t4 = jnp.take(tar, idx, axis=0)
     h = solver(s4, t4)  # (B, 3, 3), up to scale
@@ -406,6 +475,27 @@ def _refine_and_pack(h_top, sc_top, inl_best, src, tar, config, point_mask):
         h_best = cand[idx]
         inl_best = inls[idx]
         score0 = sc[idx]
+    if config.final_polish:
+        from sks_tpu.robust.polish import anneal_polish, gn_refine_h
+
+        if config.scoring == "lmeds":
+            # No fixed threshold to anneal: one weighted LM on the
+            # robust-sigma consensus of the selected model.
+            h_pol = gn_refine_h(h_best, src, tar, inl_best.astype(src.dtype))
+        else:
+            h_pol = anneal_polish(
+                h_best, src, tar, config.threshold, point_mask
+            )
+        # Report mask/score of the polished model at the *user* threshold
+        # (cv2 semantics: the polish improves the model, not the inlier rule).
+        sc_p, inl_p = score_hypotheses(
+            h_pol[None], src, tar, config.threshold, point_mask,
+            config.scoring, config.sigma_max, config.df64_scoring,
+        )
+        ok = jnp.all(jnp.isfinite(h_pol))
+        h_best = jnp.where(ok, h_pol, h_best)
+        inl_best = jnp.where(ok, inl_p[0], inl_best)
+        score0 = jnp.where(ok, sc_p[0], score0)
     h_best = h_best / h_best[2, 2]
     return RansacResult(
         h=h_best,
@@ -579,36 +669,15 @@ def ransac_homography_fused(
     Remaining constraints vs the general path: solver is ACA;
     ``config.num_hypotheses`` must be a multiple of 128 (SoA lane width);
     scoring='lmeds' (a median, not a sum) stays XLA-only.
+
+    Equivalent to ``ransac_homography`` with ``config.fused=True``; kept as
+    a named entry point.  For the confidence early-exit loop use
+    ``ransac_homography_adaptive`` with ``config.fused=True`` (each chunk
+    runs the fused kernel).
     """
-    from sks_tpu.kernels.aca_pallas import aca_solve_score_soa, to_soa
-
-    assert config.scoring in ("inliers", "msac", "magsac"), config.scoring
-    n = src.shape[-2]
-    b = config.num_hypotheses
-    assert b % 128 == 0, "num_hypotheses must be a multiple of 128 (SoA lanes)"
-    idx = sample_minimal_sets(key, n, b)
-    s4 = jnp.take(src, idx, axis=0)
-    t4 = jnp.take(tar, idx, axis=0)
-
-    pts = jnp.concatenate([src.T, tar.T], axis=0)  # (4, N) rows x,y,x',y'
-    t2 = jnp.asarray(fused_kernel_threshold(config), src.dtype)
-    pw = None if point_mask is None else point_mask.astype(jnp.float32)
-    counts = aca_solve_score_soa(to_soa(s4), to_soa(t4), pts, t2,
-                                 point_weights=pw, scoring=config.scoring)
-    # SoA index (j, lane) is hypothesis j*128 + lane: reshape(-1) is id order.
-    k_cand = max(1, min(config.lo_candidates, b))
-    _, top_idx = jax.lax.top_k(counts.reshape(-1), k_cand)
-
-    # Only the K winning minimal sets are re-solved on the XLA path.
-    s4k, t4k = s4[top_idx], t4[top_idx]
-    h_top = SOLVERS_H["aca"](s4k, t4k)
-    h_top = jnp.where(
-        aca_valid_mask(s4k, t4k)[..., None, None], h_top, jnp.nan
-    )
-    sc_top, inl = score_hypotheses(
-        h_top, src, tar, config.threshold, point_mask, config.scoring,
-        config.sigma_max,
+    h_top, sc_top, inl_best = _eval_chunk_fused(
+        key, src, tar, config, point_mask
     )
     return _refine_and_pack(
-        h_top, sc_top, inl[0], src, tar, config, point_mask
+        h_top, sc_top, inl_best, src, tar, config, point_mask
     )

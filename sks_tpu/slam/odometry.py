@@ -20,7 +20,20 @@ from sks_tpu.geom.pose import recover_pose
 from sks_tpu.robust.ransac import RansacConfig, ransac_homography
 from sks_tpu.slam.posegraph import PoseGraph, optimize_posegraph
 
-__all__ = ["vo_trajectory", "chain_poses"]
+__all__ = ["vo_trajectory", "chain_poses", "closure_candidates"]
+
+
+def closure_candidates(num_frames: int, strides=(4, 8)) -> list:
+    """Non-consecutive frame pairs (i, i+k) to test for loop closures.
+
+    The VO chain only ever constrains consecutive frames; pose-graph
+    relaxation needs frame-i <-> frame-i+k constraints to correct drift —
+    the mechanism the pose graph exists for.  Returns [(i, j), ...] with
+    j - i in ``strides`` (static Python, trace-time)."""
+    out = []
+    for k in strides:
+        out.extend((i, i + k) for i in range(0, num_frames - k))
+    return out
 
 
 def _rt_to_se3(r: Array, t: Array) -> Array:
@@ -66,6 +79,10 @@ def vo_trajectory(
     smooth: bool = False,
     plane_normal: Array | None = None,
     point_mask: Array | None = None,
+    closure_pairs: Array | None = None,
+    closure_pts1: Array | None = None,
+    closure_pts2: Array | None = None,
+    closure_mask: Array | None = None,
 ):
     """Trajectory from per-pair correspondences.
 
@@ -79,9 +96,16 @@ def vo_trajectory(
         frontal, (0,0,1)) — resolves the homography twofold ambiguity.
       point_mask: optional (T-1, N) validity for padded fixed-shape match
         arrays (what a real matcher emits) — masked points never score.
+      closure_pairs: optional (E, 2) int32 non-consecutive frame pairs
+        (i, j), i < j (see :func:`closure_candidates`); with
+        ``closure_pts1/pts2`` ((E, M, 2) matches between those frames) each
+        pair is fitted like a consecutive pair and added as a pose-graph
+        loop-closure edge when ``smooth=True`` — genuine drift-correcting
+        constraints, not just the odometry chain re-weighted.
 
     Returns:
-      dict: poses (T, 4, 4) cam->world, rel (T-1, 4, 4), num_inliers (T-1,).
+      dict: poses (T, 4, 4) cam->world, rel (T-1, 4, 4), num_inliers (T-1,),
+      and (with closures) closure_inliers (E,).
     """
     t_minus_1 = pts1.shape[0]
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
@@ -109,24 +133,49 @@ def vo_trajectory(
         t_i = tt_i * d
         n_new = r_i @ n_i
         d_new = d + jnp.dot(n_new, t_i)
-        return d_new, t_i
+        return d_new, (t_i, d)
 
-    _, t_metric = jax.lax.scan(
-        scale_step, jnp.asarray(plane_depth, r.dtype), (r, t_over_d, n)
-    )
+    d0 = jnp.asarray(plane_depth, r.dtype)
+    d_last, (t_metric, d_at) = jax.lax.scan(scale_step, d0, (r, t_over_d, n))
     rel = _rt_to_se3(r, t_metric)
     poses = chain_poses(rel)
+    # Plane depth per frame: d_at[i] is the depth in frame i (the carry when
+    # fitting pair (i, i+1)); the final carry is frame T-1's depth.
+    depths = jnp.concatenate([d_at, d_last[None]])
+
+    out = {"poses": poses, "rel": rel, "num_inliers": ninl}
+
+    rel_c = None
+    if closure_pairs is not None:
+        cp = jnp.asarray(closure_pairs, jnp.int32)
+        ckeys = jax.vmap(lambda i: jax.random.fold_in(key, 10_000 + i))(
+            jnp.arange(cp.shape[0])
+        )
+        cm = (jnp.ones(closure_pts1.shape[:-1], bool) if closure_mask is None
+              else closure_mask)
+        r_c, tt_c, n_c, ninl_c = jax.vmap(fit_one)(
+            ckeys, closure_pts1, closure_pts2, cm
+        )
+        # Scale each closure by the plane depth at its source frame i.
+        t_c = tt_c * depths[cp[:, 0]][:, None]
+        rel_c = _rt_to_se3(r_c, t_c)  # cam_i -> cam_j
+        out["closure_inliers"] = ninl_c
 
     if smooth:
         edges = jnp.stack(
             [jnp.arange(t_minus_1), jnp.arange(1, t_minus_1 + 1)], axis=-1
         ).astype(jnp.int32)
-        graph = PoseGraph(
-            poses=poses,
-            edges=edges,
-            meas=_inv_se3(rel),
-            weights=jnp.asarray(ninl, poses.dtype),
-        )
+        meas = _inv_se3(rel)
+        weights = jnp.asarray(ninl, poses.dtype)
+        if rel_c is not None:
+            edges = jnp.concatenate([edges, cp], axis=0)
+            meas = jnp.concatenate([meas, _inv_se3(rel_c)], axis=0)
+            # A closure with too few inliers is a misfit, not a constraint.
+            w_c = jnp.where(ninl_c >= 12, ninl_c, 0).astype(poses.dtype)
+            weights = jnp.concatenate([weights, w_c], axis=0)
+        graph = PoseGraph(poses=poses, edges=edges, meas=meas,
+                          weights=weights)
         poses = optimize_posegraph(graph, gn_iters=5, cg_iters=30).poses
+        out["poses"] = poses
 
-    return {"poses": poses, "rel": rel, "num_inliers": ninl}
+    return out

@@ -70,3 +70,20 @@ def test_hot_loop_runs(key):
     src, tar = _pairs(key, 1, np.float64)
     ns = bench_hot_loop("aca", src[0], tar[0], iters=100_000)
     assert 0.0 < ns < 10_000.0  # sane ns-per-solve
+
+
+@pytest.mark.parametrize("alg,op", [
+    ("ge", "rho_ge"), ("gpt", "gpt_lu"), ("ho", "ho"), ("ndlt", "ndlt"),
+])
+def test_native_baselines_match_jax(key, alg, op):
+    """The four baseline kernels' native twins vs the f64 JAX ops."""
+    import jax.numpy as jnp
+
+    from sks_tpu.native import solve_batch
+    from sks_tpu.ops import SOLVERS
+
+    src, tar = _pairs(key, 64, np.float64)
+    h_native = solve_batch(alg, src, tar)
+    h_jax = np.asarray(jit_of(SOLVERS[op])(jnp.asarray(src), jnp.asarray(tar)))
+    # Both normalized to H[2,2]=1; f64 end to end.
+    assert np.allclose(h_native, h_jax, atol=1e-8, rtol=1e-8)

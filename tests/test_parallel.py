@@ -124,3 +124,64 @@ def test_sharded_ba_at_scale():
     assert out["converged"], out["rms_reprojection_px"]
     assert out["rms_reprojection_px"][-1] < 0.6
     assert out["pose_center_rms"] < 0.05, out["pose_center_rms"]
+
+
+def test_sharded_posegraph_matches_single_device(key):
+    from test_slam import _ring_graph
+
+    from sks_tpu.parallel.sharded_posegraph import (
+        shard_graph,
+        sharded_optimize_posegraph,
+    )
+    from sks_tpu.slam.posegraph import PoseGraph, optimize_posegraph
+
+    graph, poses_gt = _ring_graph(key)
+    # Pad edges to a multiple of 8 with zero-weight (disabled) edges.
+    e = graph.edges.shape[0]
+    pad = (-e) % 8
+    if pad:
+        graph = PoseGraph(
+            poses=graph.poses,
+            edges=jnp.concatenate(
+                [graph.edges, jnp.zeros((pad, 2), graph.edges.dtype)], 0
+            ),
+            meas=jnp.concatenate(
+                [graph.meas,
+                 jnp.broadcast_to(jnp.eye(4, dtype=graph.meas.dtype),
+                                  (pad, 4, 4))], 0
+            ),
+            weights=jnp.concatenate(
+                [graph.weights, jnp.zeros((pad,), graph.weights.dtype)], 0
+            ),
+        )
+
+    mesh = make_mesh({"edge": 8})
+    single = optimize_posegraph(graph, gn_iters=3, cg_iters=40)
+    sharded = sharded_optimize_posegraph(
+        mesh, shard_graph(graph, mesh), gn_iters=3, cg_iters=40
+    )
+    assert np.allclose(
+        np.asarray(single.poses), np.asarray(sharded.poses), atol=1e-8
+    )
+
+
+def test_sharded_posegraph_converges(key):
+    from test_slam import _ring_graph
+
+    from sks_tpu.parallel.sharded_posegraph import (
+        shard_graph,
+        sharded_optimize_posegraph,
+    )
+    from sks_tpu.slam.posegraph import (
+        PoseGraph,
+        ate_rmse,
+        posegraph_residuals,
+    )
+
+    graph, poses_gt = _ring_graph(key, n=16)
+    mesh = make_mesh({"edge": 8})
+    out = sharded_optimize_posegraph(
+        mesh, shard_graph(graph, mesh), gn_iters=10, cg_iters=60
+    )
+    assert float(jnp.sum(posegraph_residuals(out) ** 2)) < 1e-10
+    assert float(ate_rmse(out.poses, poses_gt)) < 1e-4

@@ -214,10 +214,18 @@ def test_find_homography_confidence(key):
     assert h.shape == (3, 3) and float(h[2, 2]) == 1.0
     agree = jnp.mean((mask == true_inl).astype(jnp.float32))
     assert float(agree) > 0.95, float(agree)
-    import pytest as _pytest
+    # Fused path composes with the early-exit loop (round-2 gap closed):
+    # each chunk runs the Pallas kernel (interpret mode here).
+    from jax.experimental import pallas as _pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
 
-    with _pytest.raises(ValueError):
-        sks_tpu.find_homography(src, tar, method="fused", confidence=0.99)
+    with pltpu.force_tpu_interpret_mode():
+        h_f, mask_f = sks_tpu.find_homography(
+            src, tar, method="fused", key=key, confidence=0.995,
+            max_iters=1024,
+        )
+    agree_f = jnp.mean((mask_f == true_inl).astype(jnp.float32))
+    assert float(agree_f) > 0.95, float(agree_f)
 
 
 def test_lmeds_rejects_outliers(key):
@@ -438,3 +446,44 @@ def test_prosac_quality_ordered_recovery(key):
     err = apply_homography(h, src) - tar
     err = jnp.sqrt(jnp.sum(err * err, axis=-1))
     assert float(jnp.mean(err)) < 2.0, float(jnp.mean(err))
+
+
+def test_fused_prosac_and_bf16(key):
+    """Fused kernel composes with PROSAC indices and bf16 storage."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    src, tar, h_true, true_inl = jit_of(lambda k: _contaminated(k, n=128))(key)
+    for kwargs in (dict(sampling="prosac"), dict(bf16_hypotheses=True)):
+        config = RansacConfig(num_hypotheses=256, threshold=4.0,
+                              solver="aca", fused=True, **kwargs)
+        with pltpu.force_tpu_interpret_mode():
+            res = ransac_homography(key, src, tar, config)
+        agree = jnp.mean((res.inlier_mask == true_inl).astype(jnp.float32))
+        assert float(agree) > 0.95, (kwargs, float(agree))
+
+
+def test_find_homography_point_mask_and_batch(key):
+    """Public API: padded sets via point_mask; leading batch dims vmapped."""
+    import sks_tpu
+
+    src, tar, h_true, true_inl = jit_of(lambda k: _contaminated(k, n=96))(key)
+    # Pad with garbage that point_mask must exclude.
+    pad = jnp.full((32, 2), 7.0, src.dtype)
+    srcp = jnp.concatenate([src, pad])
+    tarp = jnp.concatenate([tar, -pad])
+    pm = jnp.arange(128) < 96
+    h, mask = sks_tpu.find_homography(
+        srcp, tarp, key=key, point_mask=pm, max_iters=1024
+    )
+    assert not bool(jnp.any(mask[96:]))
+    agree = jnp.mean((mask[:96] == true_inl).astype(jnp.float32))
+    assert float(agree) > 0.95, float(agree)
+
+    # Batched: two independent problems in one call.
+    src2 = jnp.stack([src, src + 1.0])
+    tar2 = jnp.stack([tar, tar + 1.0])
+    h2, mask2 = sks_tpu.find_homography(src2, tar2, key=key, max_iters=512)
+    assert h2.shape == (2, 3, 3) and mask2.shape == (2, 96)
+    assert bool(jnp.all(h2[..., 2, 2] == 1.0))
+    agree0 = jnp.mean((mask2[0] == true_inl).astype(jnp.float32))
+    assert float(agree0) > 0.9, float(agree0)
