@@ -1,0 +1,105 @@
+"""Pipeline-level frames/s: the BASELINE config-5 artifact.
+
+Measures the ONE-JIT frames->poses pipeline (``slam.pipeline``) end to end —
+pixels in, trajectory out — with the chained-dispatch methodology
+(``bench/chained.py``): K serialized pipeline invocations in one dispatch,
+two-point K fit to cancel dispatch overhead.  Run on the real TPU chip for
+the headline frames/s/chip; the 8-way CPU-mesh equality (sharded ==
+single-device, bit-identical) is proven in tests/test_pipeline.py and the
+driver dryrun.
+
+Run:  python -m sks_tpu.bench.pipeline_fps [--frames 16] [--shape 240 320]
+      [--out bench_results/PIPELINE_FPS.json]
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from sks_tpu.robust.ransac import RansacConfig
+from sks_tpu.slam.pipeline import frames_to_poses
+
+__all__ = ["measure_pipeline_fps"]
+
+
+def measure_pipeline_fps(num_frames: int = 16, shape=(240, 320),
+                         num_corners: int = 384, hypotheses: int = 1024,
+                         k1: int = 2, k2: int = 8) -> dict:
+    """Frames/s of the fused pipeline on the default backend (chained)."""
+    from sks_tpu.data.images import planar_sequence
+
+    key = jax.random.PRNGKey(0)
+    # Render on CPU (data prep, not the benchmark), ship to device once.
+    with jax.default_device(jax.devices("cpu")[0]):
+        frames, _, k_mat = planar_sequence(key, num_frames, shape)
+    frames = jax.device_put(frames, jax.devices()[0])
+    k_mat = jax.device_put(k_mat, jax.devices()[0])
+    jax.block_until_ready(frames)
+
+    config = RansacConfig(
+        num_hypotheses=hypotheses, threshold=2.0, refine_iters=2,
+        fused=jax.default_backend() == "tpu",
+    )
+
+    @jax.jit
+    def chained(key, frames, k):
+        # k is traced: one compilation serves both K points of the fit.
+        def body(_, carry):
+            # Serialize: fold the previous checksum into the key (scalar dep;
+            # carry * 0 == 0, so every step does identical work).
+            k_step = jax.random.fold_in(key, (carry * 0.0).astype(jnp.int32))
+            out = frames_to_poses(k_step, frames, k_mat, config,
+                                  num_corners=num_corners)
+            return jnp.sum(out["poses"][:, :3, 3]) + carry * 1e-30
+
+        return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, jnp.float32))
+
+    def run(k):
+        float(chained(key, frames, k))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chained(key, frames, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = run(k1)
+    t2 = run(k2)
+    sec_per_invoke = max((t2 - t1) / (k2 - k1), 1e-9)
+    fps = (num_frames - 1) / sec_per_invoke  # pairs processed per second
+    return {
+        "metric": "pipeline_frames_per_sec_per_chip",
+        "frames": num_frames,
+        "shape": list(shape),
+        "num_corners": num_corners,
+        "hypotheses_per_pair": hypotheses,
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "sec_per_pipeline_invoke": sec_per_invoke,
+        "frames_per_sec": fps,
+        "fused_ransac": config.fused,
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--shape", type=int, nargs=2, default=(240, 320))
+    ap.add_argument("--corners", type=int, default=384)
+    ap.add_argument("--hypotheses", type=int, default=1024)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    res = measure_pipeline_fps(args.frames, tuple(args.shape), args.corners,
+                               args.hypotheses)
+    print(json.dumps(res, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(f"wrote {args.out}")

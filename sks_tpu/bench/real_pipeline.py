@@ -90,12 +90,19 @@ def pair_parity(seed: int, num_pairs: int = 8, shape=(480, 640),
                          "skipped": "too few matches"})
             continue
 
-        h_ours, mask_ours = find_homography(
-            jnp.asarray(a), jnp.asarray(b), method=method,
+        # Fixed-shape fit: padded match arrays + point_mask, so ONE compiled
+        # RANSAC program serves every pair (a per-pair variable N would
+        # recompile the whole graph each time — slow, and the LLVM JIT mmaps
+        # eventually exhaust vm.max_map_count in long suites).
+        center = jnp.asarray([shape[1] / 2.0, shape[0] / 2.0], jnp.float32)
+        p1f = jnp.where(valid[..., None], p1, center)
+        p2f = jnp.where(valid[..., None], p2, center)
+        h_ours, mask_padded = find_homography(
+            p1f, p2f, method=method,
             ransac_reproj_threshold=threshold, max_iters=2048,
-            key=jax.random.fold_in(key, 99),
+            key=jax.random.fold_in(key, 99), point_mask=valid,
         )
-        mask_ours = np.asarray(mask_ours)
+        mask_ours = np.asarray(mask_padded)[v]
 
         h_cv, mask_cv = cv2.findHomography(
             a, b, cv2.RANSAC, threshold, maxIters=2048, confidence=0.999

@@ -40,15 +40,18 @@ def hat3(w: Array) -> Array:
 def so3_exp(w: Array) -> Array:
     """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation.
 
-    Gradient-safe at w = 0: every denominator uses the *floored* theta so the
-    untaken `where` branch stays finite under AD (a raw 1/th2 at th2=0 is inf
-    and poisons the gradient even when masked).
+    Gradient-safe at w = 0 via the double-where pattern: the untaken generic
+    branch is evaluated at theta^2 = 1 (not at a tiny floor), so its value
+    AND its cotangent are benign.  A tiny floor like max(th2, 1e-16) is not
+    enough — the quotient-rule vjp divides by the floor *squared*, which
+    underflows to 0 in f32 and turns the masked branch into NaN.
     """
     th2 = jnp.sum(w * w, axis=-1)
-    th2_f = jnp.maximum(th2, _EPS * _EPS)
+    gen = th2 > _EPS
+    th2_f = jnp.where(gen, th2, 1.0)
     th = jnp.sqrt(th2_f)
-    a = jnp.where(th2 > _EPS, jnp.sin(th) / th, 1.0 - th2 / 6.0)
-    b = jnp.where(th2 > _EPS, (1.0 - jnp.cos(th)) / th2_f, 0.5 - th2 / 24.0)
+    a = jnp.where(gen, jnp.sin(th) / th, 1.0 - th2 / 6.0)
+    b = jnp.where(gen, (1.0 - jnp.cos(th)) / th2_f, 0.5 - th2 / 24.0)
     k = hat3(w)
     eye = jnp.eye(3, dtype=w.dtype)
     return eye + a[..., None, None] * k + b[..., None, None] * (k @ k)
@@ -100,10 +103,12 @@ def se3_exp(xi: Array) -> Array:
     v, w = xi[..., :3], xi[..., 3:]
     r = so3_exp(w)
     th2 = jnp.sum(w * w, axis=-1)
-    th2_f = jnp.maximum(th2, _EPS * _EPS)  # floored denominators: AD-safe at 0
+    gen = th2 > _EPS
+    # Double-where: untaken branch evaluated at theta^2 = 1 (see so3_exp).
+    th2_f = jnp.where(gen, th2, 1.0)
     th = jnp.sqrt(th2_f)
-    b = jnp.where(th2 > _EPS, (1.0 - jnp.cos(th)) / th2_f, 0.5 - th2 / 24.0)
-    c = jnp.where(th2 > _EPS, (th - jnp.sin(th)) / (th2_f * th), 1.0 / 6.0)
+    b = jnp.where(gen, (1.0 - jnp.cos(th)) / th2_f, 0.5 - th2 / 24.0)
+    c = jnp.where(gen, (th - jnp.sin(th)) / (th2_f * th), 1.0 / 6.0)
     k = hat3(w)
     eye = jnp.eye(3, dtype=xi.dtype)
     jl = eye + b[..., None, None] * k + c[..., None, None] * (k @ k)
@@ -125,12 +130,13 @@ def se3_log(g: Array) -> Array:
     eye = jnp.eye(3, dtype=g.dtype)
     half = 0.5
     # J_l^{-1} = I - k/2 + (1/th^2 - (1+cos th)/(2 th sin th)) k^2.
-    # Gradient-safe: the generic branch uses a floored th2 so the untaken
-    # branch never produces inf/nan under vjp (double-where pattern).
-    th2_safe = jnp.maximum(th2, 1e-8)
+    # Double-where: untaken generic branch evaluated at theta^2 = 1 so both
+    # its value and its vjp stay finite in f32 (see so3_exp).
+    gen = th2 > 1e-8
+    th2_safe = jnp.where(gen, th2, 1.0)
     th_safe = jnp.sqrt(th2_safe)
     coef = jnp.where(
-        th2 > 1e-8,
+        gen,
         1.0 / th2_safe
         - (1.0 + jnp.cos(th_safe)) / (2.0 * th_safe * jnp.sin(th_safe)),
         1.0 / 12.0 + th2 / 720.0,

@@ -108,8 +108,18 @@ def synth_training_batch(key: Array, batch: int, image_size: int = 64,
     first image warped by the homography induced by the offsets — exactly the
     signal the net must invert.
     """
-    k1, k2 = jax.random.split(key)
-    img = jax.random.uniform(k1, (batch, image_size, image_size), dtype)
+    k1, k1b, k2 = jax.random.split(key, 3)
+    # Multi-scale value noise, not per-pixel white noise: warps of white
+    # noise alias away all correspondence signal, making the inverse problem
+    # near-unlearnable.  Coarse structure + fine detail is what real imagery
+    # offers the net.
+    coarse = jax.random.uniform(k1, (batch, 8, 8), dtype)
+    fine = jax.random.uniform(k1b, (batch, 24, 24), dtype)
+    img = (
+        2.0 * jax.image.resize(coarse, (batch, image_size, image_size),
+                               "linear")
+        + jax.image.resize(fine, (batch, image_size, image_size), "linear")
+    ) / 3.0
     offsets = jax.random.uniform(k2, (batch, 4, 2), dtype, -max_offset, max_offset)
     origin = jnp.zeros((batch, 2), dtype)
     size = jnp.full((batch, 2), float(image_size - 1), dtype)

@@ -354,13 +354,22 @@ def _irls_refine(h0: Array, src: Array, tar: Array, iters: int,
     return jax.lax.fori_loop(0, iters, body, h0)
 
 
-def _sample_chunk(key, n, config, prosac_sizes=None):
+def _sample_chunk(key, n, config, prosac_sizes=None, point_mask=None):
     if config.sampling == "prosac":
         return sample_minimal_sets_prosac(
             key, n, config.num_hypotheses, sizes=prosac_sizes
         )
     if config.sampling == "uniform":
-        return sample_minimal_sets(key, n, config.num_hypotheses)
+        if point_mask is None:
+            return sample_minimal_sets(key, n, config.num_hypotheses)
+        # Padded sets: draw only valid indices (a uniform draw over all N
+        # slots would need (n_valid/N)^4 luck per hypothesis — at 60 valid
+        # of 512 that is ~2e-4, i.e. a 2048-hypothesis budget with <1 usable
+        # sample).  Gumbel-categorical over the mask keeps the fixed shape.
+        logits = jnp.where(point_mask, 0.0, -jnp.inf)
+        return jax.random.categorical(
+            key, logits, shape=(config.num_hypotheses, 4)
+        ).astype(jnp.int32)
     raise ValueError(f"unknown sampling {config.sampling!r}")
 
 
@@ -381,7 +390,7 @@ def _eval_chunk_fused(key, src, tar, config, point_mask, prosac_sizes=None):
     b = config.num_hypotheses
     assert b % 128 == 0, "num_hypotheses must be a multiple of 128 (SoA lanes)"
     n = src.shape[-2]
-    idx = _sample_chunk(key, n, config, prosac_sizes)
+    idx = _sample_chunk(key, n, config, prosac_sizes, point_mask)
     s4 = jnp.take(src, idx, axis=0)
     t4 = jnp.take(tar, idx, axis=0)
 
@@ -417,7 +426,7 @@ def _eval_chunk(key, src, tar, config, point_mask, prosac_sizes=None):
                                  prosac_sizes)
     n = src.shape[-2]
     solver = SOLVERS_H[config.solver]
-    idx = _sample_chunk(key, n, config, prosac_sizes)
+    idx = _sample_chunk(key, n, config, prosac_sizes, point_mask)
     s4 = jnp.take(src, idx, axis=0)  # (B, 4, 2)
     t4 = jnp.take(tar, idx, axis=0)
     h = solver(s4, t4)  # (B, 3, 3), up to scale

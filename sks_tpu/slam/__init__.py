@@ -17,3 +17,7 @@ from sks_tpu.slam.posegraph import (  # noqa: F401
     posegraph_residuals,
     optimize_posegraph,
 )
+from sks_tpu.slam.pipeline import (  # noqa: F401
+    frames_to_poses,
+    sharded_frames_to_poses,
+)

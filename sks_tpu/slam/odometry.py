@@ -20,7 +20,44 @@ from sks_tpu.geom.pose import recover_pose
 from sks_tpu.robust.ransac import RansacConfig, ransac_homography
 from sks_tpu.slam.posegraph import PoseGraph, optimize_posegraph
 
-__all__ = ["vo_trajectory", "chain_poses", "closure_candidates"]
+__all__ = ["vo_trajectory", "chain_poses", "closure_candidates",
+           "fit_pair", "chain_metric"]
+
+
+def fit_pair(key, p1, p2, pm, k_mat, config, plane_normal):
+    """RANSAC homography + pose recovery for one frame pair.
+
+    Returns (R, t/d, n, num_inliers) — the per-pair unit the VO chain, the
+    loop-closure edges, and the frame-sharded pipeline all share.
+    """
+    res = ransac_homography(key, p1, p2, config, point_mask=pm)
+    r, t, n, _ = recover_pose(
+        res.h, k_mat, k_mat, p1, p2, normal_prior=plane_normal
+    )
+    return r, t, n, res.num_inliers
+
+
+def chain_metric(r, t_over_d, n, plane_depth):
+    """Chain per-pair (R, t/d, n) into metric relative poses + world poses.
+
+    The homography yields t/d with d the *current* plane depth; track d
+    along the chain: in cam_{i+1} coords the plane is (R n).X = d + (R n).t,
+    so d_{i+1} = d_i + n_{i+1}.t_i.  Returns (rel (T-1,4,4), poses (T,4,4),
+    depths (T,)).
+    """
+    def scale_step(d, rtn):
+        r_i, tt_i, n_i = rtn
+        t_i = tt_i * d
+        n_new = r_i @ n_i
+        d_new = d + jnp.dot(n_new, t_i)
+        return d_new, (t_i, d)
+
+    d0 = jnp.asarray(plane_depth, r.dtype)
+    d_last, (t_metric, d_at) = jax.lax.scan(scale_step, d0, (r, t_over_d, n))
+    rel = _rt_to_se3(r, t_metric)
+    poses = chain_poses(rel)
+    depths = jnp.concatenate([d_at, d_last[None]])
+    return rel, poses, depths
 
 
 def closure_candidates(num_frames: int, strides=(4, 8)) -> list:
@@ -115,33 +152,12 @@ def vo_trajectory(
         plane_normal = jnp.asarray([0.0, 0.0, 1.0], pts1.dtype)
 
     def fit_one(k, p1, p2, pm):
-        res = ransac_homography(k, p1, p2, config, point_mask=pm)
-        r, t, n, score = recover_pose(
-            res.h, k_mat, k_mat, p1, p2, normal_prior=plane_normal
-        )
-        return r, t, n, res.num_inliers
+        return fit_pair(k, p1, p2, pm, k_mat, config, plane_normal)
 
     pm = (jnp.ones(pts1.shape[:-1], bool) if point_mask is None
           else point_mask)
     r, t_over_d, n, ninl = jax.vmap(fit_one)(keys, pts1, pts2, pm)
-
-    # Monocular scale: the homography yields t/d with d the *current* plane
-    # depth.  Track d along the chain: in cam_{i+1} coords the plane is
-    # (R n) . X = d + (R n) . t, so d_{i+1} = d_i + n_{i+1} . t_i.
-    def scale_step(d, rtn):
-        r_i, tt_i, n_i = rtn
-        t_i = tt_i * d
-        n_new = r_i @ n_i
-        d_new = d + jnp.dot(n_new, t_i)
-        return d_new, (t_i, d)
-
-    d0 = jnp.asarray(plane_depth, r.dtype)
-    d_last, (t_metric, d_at) = jax.lax.scan(scale_step, d0, (r, t_over_d, n))
-    rel = _rt_to_se3(r, t_metric)
-    poses = chain_poses(rel)
-    # Plane depth per frame: d_at[i] is the depth in frame i (the carry when
-    # fitting pair (i, i+1)); the final carry is frame T-1's depth.
-    depths = jnp.concatenate([d_at, d_last[None]])
+    rel, poses, depths = chain_metric(r, t_over_d, n, plane_depth)
 
     out = {"poses": poses, "rel": rel, "num_inliers": ninl}
 

@@ -1,0 +1,149 @@
+"""Frames -> poses in ONE jit: the BASELINE config-5 pipeline.
+
+The full planar-VO front+back end fused into a single compiled program:
+pyramid Harris detection, oriented patch description, mutual-NN/ratio
+matching, vectorized RANSAC (optionally the fused Pallas kernel), homography
+-> pose decomposition, metric scale chaining.  No host round trips between
+stages — the whole T-frame batch is device-resident from pixels to
+trajectory (the reference's pipelines cross the host boundary at every
+OpenCV call; SURVEY.md §3).
+
+Two entry points:
+
+- :func:`frames_to_poses` — single device, one jit.
+- :func:`sharded_frames_to_poses` — the keyframe-sharded multi-chip form:
+  consecutive frame *pairs* shard across the mesh (each chip matches and
+  fits its pair shard — detection/matching/RANSAC are embarrassingly
+  parallel over pairs), one ``all_gather`` of the tiny per-pair
+  (R, t/d, n, inliers) tuples rides ICI, and the metric chain (an
+  associative scan over T 4x4 matrices) is replicated.  Bit-identical to the
+  single-device result (same per-pair fold_in streams).
+
+Benchmarked in ``bench/pipeline_fps.py`` (frames/s on the real chip ->
+``bench_results/PIPELINE_FPS.json``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sks_tpu.features.matching import match_frames_oriented
+from sks_tpu.robust.ransac import RansacConfig
+from sks_tpu.slam.odometry import chain_metric, fit_pair
+
+__all__ = ["frames_to_poses", "sharded_frames_to_poses"]
+
+
+def _match_pad(f1: Array, f2: Array, num_corners: int, num_octaves: int,
+               shape: tuple):
+    """Match one pair; pad invalid slots to the image center (masked out)."""
+    p1, p2, valid, _ = match_frames_oriented(f1, f2, num_corners, num_octaves)
+    center = jnp.asarray([shape[1] / 2.0, shape[0] / 2.0], jnp.float32)
+    p1 = jnp.where(valid[..., None], p1, center)
+    p2 = jnp.where(valid[..., None], p2, center)
+    return p1, p2, valid
+
+
+def _fit_pairs(key, frames1, frames2, k_mat, config, num_corners,
+               num_octaves, plane_normal, pair_offset=0):
+    """Match + RANSAC + pose for a batch of pairs (vmapped, one trace)."""
+    shape = frames1.shape[-2:]
+    p1s, p2s, masks = jax.vmap(
+        lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
+    )(frames1, frames2)
+    n_pairs = frames1.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i + pair_offset))(
+        jnp.arange(n_pairs)
+    )
+    return jax.vmap(
+        lambda k, p1, p2, pm: fit_pair(k, p1, p2, pm, k_mat, config,
+                                       plane_normal)
+    )(keys, p1s, p2s, masks)
+
+
+@partial(jax.jit, static_argnames=("config", "num_corners", "num_octaves",
+                                   "plane_depth"))
+def frames_to_poses(
+    key: Array,
+    frames: Array,
+    k_mat: Array,
+    config: RansacConfig = RansacConfig(num_hypotheses=1024),
+    num_corners: int = 384,
+    num_octaves: int = 2,
+    plane_depth: float = 1.0,
+    plane_normal: Array | None = None,
+):
+    """(T, H, W) grayscale frames -> (T, 4, 4) cam->world poses, one jit.
+
+    Returns dict: poses, rel (T-1, 4, 4), num_inliers (T-1,).
+    """
+    if plane_normal is None:
+        plane_normal = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    r, t_over_d, n, ninl = _fit_pairs(
+        key, frames[:-1], frames[1:], k_mat, config, num_corners,
+        num_octaves, plane_normal,
+    )
+    rel, poses, _ = chain_metric(r, t_over_d, n, plane_depth)
+    return {"poses": poses, "rel": rel, "num_inliers": ninl}
+
+
+@partial(jax.jit, static_argnames=("mesh", "config", "num_corners",
+                                   "num_octaves", "plane_depth", "axis"))
+def sharded_frames_to_poses(
+    mesh: Mesh,
+    key: Array,
+    frames: Array,
+    k_mat: Array,
+    config: RansacConfig = RansacConfig(num_hypotheses=1024),
+    num_corners: int = 384,
+    num_octaves: int = 2,
+    plane_depth: float = 1.0,
+    plane_normal: Array | None = None,
+    axis: str = "frame",
+):
+    """Frame-sharded frames->poses: pairs split across ``mesh[axis]``.
+
+    T-1 (the pair count) must divide the mesh axis size.  Each device runs
+    detect/describe/match/RANSAC/pose for its contiguous pair shard with the
+    *global* pair index folded into its RNG keys, so results are
+    bit-identical to :func:`frames_to_poses`; the all_gather moves only
+    (T-1) x (3x3 + 3 + 3 + 1) floats.
+    """
+    if plane_normal is None:
+        plane_normal = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    t_minus_1 = frames.shape[0] - 1
+    n_dev = mesh.shape[axis]
+    assert t_minus_1 % n_dev == 0, (t_minus_1, n_dev)
+    per_dev = t_minus_1 // n_dev
+
+    frames1 = frames[:-1]
+    frames2 = frames[1:]
+
+    def local(key, f1s, f2s, k_mat, plane_normal):
+        idx = jax.lax.axis_index(axis)
+        r, t_over_d, n, ninl = _fit_pairs(
+            key, f1s, f2s, k_mat, config, num_corners, num_octaves,
+            plane_normal, pair_offset=idx * per_dev,
+        )
+        # Tiny per-pair results ride ICI; the chain is replicated.
+        r = jax.lax.all_gather(r, axis, tiled=True)
+        t_over_d = jax.lax.all_gather(t_over_d, axis, tiled=True)
+        n = jax.lax.all_gather(n, axis, tiled=True)
+        ninl = jax.lax.all_gather(ninl, axis, tiled=True)
+        rel, poses, _ = chain_metric(r, t_over_d, n, plane_depth)
+        return poses, rel, ninl
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    poses, rel, ninl = fn(key, frames1, frames2, k_mat, plane_normal)
+    return {"poses": poses, "rel": rel, "num_inliers": ninl}

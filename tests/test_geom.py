@@ -127,3 +127,26 @@ def test_recover_pose_cheirality(key, synth):
     # The truth is among selections for a non-trivial fraction (ties split).
     err_r = jnp.max(jnp.abs(r_b - r), axis=(-2, -1))
     assert float(jnp.mean(err_r < 1e-6)) > 0.3
+
+
+def test_lie_gradients_finite_f32_at_identity():
+    """Regression: vjp through se3_log(se3_exp(dx)) at dx=0 in f32.
+
+    The Taylor-switch floors used to be max(th2, 1e-16); the quotient-rule
+    vjp of the untaken generic branch divides by the floor squared (and for
+    the se3 V-matrix, cubed), which underflows f32 to 0 and NaNs the masked
+    branch (0 * NaN = NaN through `where`).  Double-where (untaken branch at
+    theta^2 = 1) keeps pose-graph GN finite in f32 — the chain-consistent
+    zero-residual graph a VO pipeline hands it.
+    """
+    from sks_tpu.geom.lie import se3_exp, se3_log
+
+    for dtype in (jnp.float32, jnp.float64):
+        z = jnp.zeros(6, dtype)
+
+        def f(dx):
+            return se3_log(se3_exp(dx))
+
+        _, vjp = jax.vjp(f, z)
+        g = vjp(jnp.ones(6, dtype))[0]
+        assert bool(jnp.all(jnp.isfinite(g))), dtype

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sks_tpu.geom.homography import apply_homography, homography_from_pose
 from sks_tpu.robust.ransac import RansacConfig
@@ -80,3 +81,20 @@ def test_vo_smoothing_runs(key):
     )
     assert out["poses"].shape == (T_FRAMES, 4, 4)
     assert bool(jnp.all(jnp.isfinite(out["poses"])))
+
+
+@pytest.mark.slow
+def test_loop_closures_reduce_ate(key):
+    """Smoothing with genuine loop-closure edges beats odometry-only ATE.
+
+    Uses the rendered closed-circuit sequence (images.planar_sequence
+    loop=True) end-to-end: detection, matching (consecutive AND i<->i+k
+    candidate pairs), RANSAC, closure-edge pose graph.  Smoothing WITHOUT
+    closures cannot improve a chain-consistent graph; with closures it must.
+    Committed artifact: bench_results/LOOP_CLOSURE.json.
+    """
+    from sks_tpu.bench.real_pipeline import loop_closure_ate
+
+    out = loop_closure_ate(0, num_frames=12, strides=(4, 6))
+    assert np.isfinite(out["ate_smooth_with_closures"])
+    assert out["ate_smooth_with_closures"] < 0.8 * out["ate_odometry"], out

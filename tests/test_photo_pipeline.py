@@ -38,6 +38,22 @@ def test_photo_pair_parity_vs_cv2():
     for r in scored:
         assert r["matches"] >= 50  # real-photo pixels produce real matches
         assert r["inlier_agreement"] >= 0.95  # cv2 parity on the same matches
+        # Accuracy gate (round-2 regression: a 10.6 px corner error passed
+        # silently while inlier agreement stayed 99%): the fitted model must
+        # be within 2.5x of cv2's corner error AND under an absolute ceiling.
+        assert r["corner_err_ours_px"] <= max(
+            2.5 * r["corner_err_cv2_px"], 1.5
+        ), r
+
+
+def test_available_photos_lists_bundled():
+    from sks_tpu.data.images import available_photos
+
+    names = available_photos()
+    if not names:
+        pytest.skip("no bundled photographs in this environment")
+    # The three-texture protocol needs at least two distinct scenes here.
+    assert "hopper" in names
 
 
 def test_photo_pair_recovers_gt():

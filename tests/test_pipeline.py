@@ -1,0 +1,53 @@
+"""One-jit frames->poses pipeline: correctness + frame-sharded equality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sks_tpu.parallel import make_mesh
+from sks_tpu.robust.ransac import RansacConfig
+from sks_tpu.slam.pipeline import frames_to_poses, sharded_frames_to_poses
+
+
+def _setup(key, num_frames=9, shape=(240, 320)):
+    from sks_tpu.data.images import planar_sequence
+
+    frames, poses_gt, k_mat = planar_sequence(key, num_frames, shape)
+    return frames, poses_gt, k_mat
+
+
+def test_frames_to_poses_recovers_trajectory(key):
+    from sks_tpu.slam.posegraph import ate_rmse
+
+    frames, poses_gt, k_mat = _setup(key)
+    config = RansacConfig(num_hypotheses=1024, threshold=2.0, refine_iters=2)
+    out = frames_to_poses(key, frames, k_mat, config, plane_depth=3.0)
+    assert bool(jnp.all(jnp.isfinite(out["poses"])))
+    ate = float(ate_rmse(out["poses"], poses_gt))
+    path = float(jnp.sum(jnp.linalg.norm(
+        jnp.diff(poses_gt[:, :3, 3], axis=0), axis=-1)))
+    # End-to-end from pixels: detection/matching noise bounds accuracy.
+    assert ate < 0.12 * max(path, 1e-9) + 0.02, (ate, path)
+
+
+def test_sharded_pipeline_matches_single_device(key):
+    # Tiny shapes: the correctness claim (same per-pair RNG streams ->
+    # identical results) is size-independent, and an 8-way shard_map of the
+    # full pipeline is expensive to compile on the CPU test backend.
+    from sks_tpu.data.images import planar_sequence
+
+    frames, _, k_mat = planar_sequence(key, 9, (96, 128), focal=120.0)
+    config = RansacConfig(num_hypotheses=128, threshold=2.0, refine_iters=1)
+    kw = dict(num_corners=64, num_octaves=1, plane_depth=3.0)
+    mesh = make_mesh({"frame": 8})
+    single = frames_to_poses(key, frames, k_mat, config, **kw)
+    sharded = sharded_frames_to_poses(mesh, key, frames, k_mat, config, **kw)
+    # Same per-pair RNG streams; XLA reassociates float reductions under
+    # shard_map (descriptor-distance matmuls), which can flip borderline
+    # ratio-test matches — so equality is to tolerance, not bitwise.
+    assert np.allclose(np.asarray(single["poses"]),
+                       np.asarray(sharded["poses"]), atol=5e-3)
+    ninl_s = np.asarray(single["num_inliers"], np.int64)
+    ninl_m = np.asarray(sharded["num_inliers"], np.int64)
+    assert np.max(np.abs(ninl_s - ninl_m)) <= 2, (ninl_s, ninl_m)
