@@ -104,7 +104,8 @@ def photo_texture(shape: tuple = (480, 640), dtype=jnp.float32,
         keep = max(1, (h0 * tw) // th)
         off = (w0 - keep) // 2
         arr = arr[:, off:off + keep]
-    return jax.image.resize(arr, shape, "linear")
+    # resize's linear kernel can overshoot [0, 1] by ~1 ulp at crop edges.
+    return jnp.clip(jax.image.resize(arr, shape, "linear"), 0.0, 1.0)
 
 
 def plane_texture(key: Array, shape: tuple = (480, 640), octaves: int = 5,

@@ -168,20 +168,30 @@ def anneal_polish(
 
     dt = src.dtype
     pm = None if point_mask is None else jnp.asarray(point_mask)
-    n0 = None
-    for mult in levels:
+    mults = jnp.asarray(levels, dt)
+
+    def consensus_mass(h, mult):
         r2 = _residual2(h[None], src, tar)[0]
         # _residual2 is the symmetric (fwd+bwd) squared transfer error; the
         # per-direction threshold m*thr corresponds to 2 (m thr)^2 on it.
-        t2 = jnp.asarray(2.0 * (mult * threshold) ** 2, dt)
+        t2 = 2.0 * (mult * jnp.asarray(threshold, dt)) ** 2
         m = r2 < t2
         if pm is not None:
             m = m & pm
         w = m.astype(dt)
-        mass = jnp.sum(w)
-        if n0 is None:
-            n0 = jnp.maximum(mass, 1.0)
+        return w, jnp.sum(w)
+
+    _, n0 = consensus_mass(h, mults[0])
+    n0 = jnp.maximum(n0, 1.0)
+
+    # One compiled level body scanned over the multipliers (a Python loop
+    # would trace/compile the residual+LM graph once per level).
+    def level(h, mult):
+        w, mass = consensus_mass(h, mult)
         ok = (mass >= 8.0) & (mass >= 0.25 * n0)
         h_new = gn_refine_h(h, src, tar, w, iters=iters)
         h = jnp.where(ok & jnp.all(jnp.isfinite(h_new)), h_new, h)
+        return h, None
+
+    h, _ = jax.lax.scan(level, h, mults)
     return h

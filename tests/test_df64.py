@@ -8,6 +8,7 @@ parity") — orders of magnitude beyond plain fp32 on the same inputs.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from conftest import jit_of
 from sks_tpu.geom.homography import normalize_h
@@ -86,6 +87,7 @@ def test_df64_hi_is_rounded_result(key, synth):
     assert err < 1e-4
 
 
+@pytest.mark.slow
 def test_df64_jit_vmap_compose(key, synth):
     """DF is a pytree (NamedTuple of arrays): jit/vmap work unchanged."""
     src, tar, _ = synth(key, B, 4, 0.0, jnp.float32)
@@ -140,6 +142,7 @@ def test_residual2_df64_accuracy(key):
     assert rel_df < rel_32 / 50, (rel_df, rel_32)
 
 
+@pytest.mark.slow
 def test_ndlt_df64_fixture_grade(key):
     """df64 NDLT reaches fp64-grade accuracy where plain f32 fails by ~1e3 px
     (the VERDICT r1 golden-test exclusion, now deletable)."""
@@ -163,6 +166,7 @@ def test_ndlt_df64_fixture_grade(key):
     assert float(jnp.median(err)) < 1.0, float(jnp.median(err))
 
 
+@pytest.mark.slow
 def test_ransac_df64_scoring_smoke(key):
     """RansacConfig(df64_scoring=True) runs end-to-end and rejects outliers."""
     from sks_tpu.robust.ransac import RansacConfig, ransac_homography

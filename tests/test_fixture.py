@@ -89,7 +89,10 @@ _GOLDEN_PX = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(SOLVERS))
+@pytest.mark.parametrize("name", [
+    n if n != "ndlt" else pytest.param(n, marks=pytest.mark.slow)
+    for n in sorted(SOLVERS)
+])
 def test_golden_accuracy_on_fixture(wall, name, dtype):
     bound = _GOLDEN_PX[(name, str(dtype))]
     s4, t4 = _exact_sets(wall, dtype)

@@ -40,6 +40,7 @@ def test_head_maps_corners(method, key):
     )
 
 
+@pytest.mark.slow
 def test_heads_agree(key):
     offsets, origin, size = _setup(key)
     hs = {
@@ -57,7 +58,10 @@ def test_heads_agree(key):
         np.testing.assert_allclose(h, ref, atol=5e-4, err_msg=m)
 
 
-@pytest.mark.parametrize("method", sorted(HEAD_METHODS))
+@pytest.mark.parametrize("method", [
+    m if m != "ndlt" else pytest.param(m, marks=pytest.mark.slow)
+    for m in sorted(HEAD_METHODS)
+])
 def test_head_gradients_finite(method, key):
     """Every head backprops finite gradients to the offsets (training use)."""
     offsets, origin, size = _setup(key)

@@ -144,7 +144,10 @@ def test_baseline_cores_match_aos_ops(key, name):
     assert np.allclose(a, b, atol=1e-9), np.max(np.abs(a - b))
 
 
-@pytest.mark.parametrize("name", ["rho_ge", "gpt_lu", "ho", "ndlt"])
+@pytest.mark.parametrize("name", [
+    "rho_ge", "gpt_lu", "ho",
+    pytest.param("ndlt", marks=pytest.mark.slow),
+])
 def test_baseline_pallas_matches_aos(soa_inputs, name):
     """SoA Pallas baseline kernels == AoS ops (interpret mode, f32)."""
     from sks_tpu.kernels.baselines_pallas import SOA_SOLVERS

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sks_tpu.models import HomographyNet, corner_loss, create_train_state, train_step
 from sks_tpu.models.deep_homography import synth_training_batch
@@ -66,6 +67,7 @@ def test_warp_by_homography_identity_and_shift(key):
     )
 
 
+@pytest.mark.slow
 def test_ihn_shapes_and_grads(key):
     """Sequence output shape, finite grads through all iterations."""
     from sks_tpu.models import create_ihn_state, sequence_loss

@@ -73,6 +73,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_sharded_ransac_matches_single(tmp_path):
     port = _free_port()
     worker = tmp_path / "worker.py"

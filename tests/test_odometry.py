@@ -73,6 +73,7 @@ def test_vo_recovers_trajectory(key):
     assert int(jnp.min(out["num_inliers"])) > N_PTS * 0.9
 
 
+@pytest.mark.slow
 def test_vo_smoothing_runs(key):
     k_mat, pts1, pts2, poses_gt, d0 = _sequence(key)
     config = RansacConfig(num_hypotheses=256, threshold=2.0, refine_iters=0)

@@ -53,6 +53,7 @@ def test_sharded_ba_matches_single_device(key):
     )
 
 
+@pytest.mark.slow
 def test_sharded_ba_converges(key):
     from test_slam import _ba_setup
     from sks_tpu.slam.ba import BAProblem
@@ -165,6 +166,7 @@ def test_sharded_posegraph_matches_single_device(key):
     )
 
 
+@pytest.mark.slow
 def test_sharded_posegraph_converges(key):
     from test_slam import _ring_graph
 

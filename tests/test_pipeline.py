@@ -31,6 +31,7 @@ def test_frames_to_poses_recovers_trajectory(key):
     assert ate < 0.12 * max(path, 1e-9) + 0.02, (ate, path)
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_matches_single_device(key):
     # Tiny shapes: the correctness claim (same per-pair RNG streams ->
     # identical results) is size-independent, and an 8-way shard_map of the

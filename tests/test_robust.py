@@ -22,7 +22,11 @@ def _contaminated(key, n=256, outlier_frac=0.5, noise=0.5, dtype=jnp.float32):
     return src, tar, h, inlier_mask
 
 
-@pytest.mark.parametrize("scoring", ["inliers", "msac", "magsac"])
+@pytest.mark.parametrize("scoring", [
+    "inliers",
+    pytest.param("msac", marks=pytest.mark.slow),
+    pytest.param("magsac", marks=pytest.mark.slow),
+])
 def test_ransac_rejects_outliers(key, scoring):
     src, tar, h_true, true_inl = jit_of(
         lambda k: _contaminated(k)
@@ -39,7 +43,11 @@ def test_ransac_rejects_outliers(key, scoring):
     assert float(agree) > 0.95, float(agree)
 
 
-@pytest.mark.parametrize("solver", ["aca", "sks", "rho_ge"])
+@pytest.mark.parametrize("solver", [
+    "aca",
+    pytest.param("sks", marks=pytest.mark.slow),
+    pytest.param("rho_ge", marks=pytest.mark.slow),
+])
 def test_ransac_solvers(key, solver):
     src, tar, h_true, _ = jit_of(lambda k: _contaminated(k, outlier_frac=0.3))(key)
     config = RansacConfig(num_hypotheses=512, threshold=4.0, solver=solver)
@@ -105,6 +113,7 @@ def test_ransac_fused_matches_general(key):
     assert int(res.num_inliers) == int(res_f.num_inliers)
 
 
+@pytest.mark.slow
 def test_sharded_fused_matches_sharded(key):
     """Fused sharded path (interpret mode) == general sharded path."""
     from jax.experimental.pallas import tpu as pltpu
@@ -130,22 +139,27 @@ def test_sharded_fused_matches_sharded(key):
     assert int(res.num_inliers) == int(res_f.num_inliers)
 
 
-def test_find_homography_api(key):
+@pytest.mark.parametrize("method", [
+    "ransac",
+    pytest.param("msac", marks=pytest.mark.slow),
+    pytest.param("magsac", marks=pytest.mark.slow),
+])
+def test_find_homography_api(key, method):
     """cv2-shaped convenience wrapper returns (H, mask) and rejects junk."""
     import sks_tpu
 
     src, tar, h_true, true_inl = jit_of(lambda k: _contaminated(k))(key)
-    for method in ("ransac", "msac", "magsac"):
-        h, mask = sks_tpu.find_homography(src, tar, method=method, key=key)
-        assert h.shape == (3, 3) and float(h[2, 2]) == 1.0
-        agree = jnp.mean((mask == true_inl).astype(jnp.float32))
-        assert float(agree) > 0.95, (method, float(agree))
+    h, mask = sks_tpu.find_homography(src, tar, method=method, key=key)
+    assert h.shape == (3, 3) and float(h[2, 2]) == 1.0
+    agree = jnp.mean((mask == true_inl).astype(jnp.float32))
+    assert float(agree) > 0.95, (method, float(agree))
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         sks_tpu.find_homography(src, tar, method="prosac")
 
 
+@pytest.mark.slow
 def test_ransac_jit_shapes(key):
     """Whole pipeline is one fixed-shape jit: no recompilation across keys."""
     src, tar, _, _ = jit_of(lambda k: _contaminated(k, n=64))(key)
@@ -324,6 +338,7 @@ def test_magsac_beats_ransac_heteroscedastic(key):
     assert errs["magsac"] < 3.0, errs
 
 
+@pytest.mark.slow
 def test_irls_refine_grows_consensus(key):
     """Re-thresholded IRLS recovers inliers outside the seed consensus
     (VERDICT r1 weak #4: the old ``w * inl_any`` clipped growth)."""
@@ -375,6 +390,7 @@ def test_sks_degeneracy_masked_in_ransac(key):
     assert bool(jnp.all(jnp.isfinite(h_raw)))
 
 
+@pytest.mark.slow
 def test_lmeds_exact_data_inliers(key):
     """ADVICE r1 #1: noise-free data must not collapse to zero inliers
     (sigma is floored like cv2's LMedS)."""
@@ -424,6 +440,7 @@ def test_prosac_sampling_indices(key):
     np.testing.assert_array_equal(idx[:, 3], sizes - 1)
 
 
+@pytest.mark.slow
 def test_prosac_quality_ordered_recovery(key):
     """PROSAC with quality-sorted matches beats uniform at a tiny budget."""
     # Inliers first (sorted by 'quality'), 70% outliers appended.
@@ -448,6 +465,7 @@ def test_prosac_quality_ordered_recovery(key):
     assert float(jnp.mean(err)) < 2.0, float(jnp.mean(err))
 
 
+@pytest.mark.slow
 def test_fused_prosac_and_bf16(key):
     """Fused kernel composes with PROSAC indices and bf16 storage."""
     from jax.experimental.pallas import tpu as pltpu
@@ -462,6 +480,7 @@ def test_fused_prosac_and_bf16(key):
         assert float(agree) > 0.95, (kwargs, float(agree))
 
 
+@pytest.mark.slow
 def test_find_homography_point_mask_and_batch(key):
     """Public API: padded sets via point_mask; leading batch dims vmapped."""
     import sks_tpu

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sks_tpu.geom.lie import se3_exp
 from sks_tpu.slam.ba import BAProblem, gauss_newton_step, rms_reprojection
@@ -104,6 +105,7 @@ def _ring_graph(key, n=12, drift=0.05, dtype=jnp.float64):
     return PoseGraph(poses0, edges, meas, weights), poses_gt
 
 
+@pytest.mark.slow
 def test_posegraph_reduces_error(key):
     graph, poses_gt = _ring_graph(key)
     r0 = float(jnp.sum(posegraph_residuals(graph) ** 2))

@@ -88,6 +88,7 @@ def test_n_point_solvers(key, dtype, synth):
         assert h_close(h, h_true, TOL[dtype] * 50)
 
 
+@pytest.mark.slow
 def test_n_point_weighted_padding(key, synth):
     """Zero-weight padding gives the same answer as the unpadded problem."""
     dtype = jnp.float64

@@ -53,6 +53,7 @@ def test_nonfinite_fraction(key, synth):
     assert abs(float(nonfinite_fraction(h_bad)) - 1 / 16) < 1e-6
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, key, synth):
     from sks_tpu.slam.checkpoint import latest_step, restore_state, save_state
 
