@@ -21,3 +21,7 @@ from sks_tpu.slam.pipeline import (  # noqa: F401
     frames_to_poses,
     sharded_frames_to_poses,
 )
+from sks_tpu.slam.tracking import (  # noqa: F401
+    esm_track,
+    esm_track_pyramid,
+)

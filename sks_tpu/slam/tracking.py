@@ -1,0 +1,242 @@
+"""Direct (dense) homography tracking on SL(3): ESM, TPU-native.
+
+The dense complement to the feature+RANSAC front end: instead of detecting
+and matching sparse corners, align the raw pixels of a template region to
+the current frame by minimizing the photometric error over the 8-parameter
+SL(3) homography group — Efficient Second-order Minimization (ESM,
+Benhimane & Malis, IROS 2004).  This is the classic real-time planar
+tracker used by planar SLAM/AR systems; the reference repo has no tracking
+layer at all (its scope ends at the 4-point solve), so this layer is new
+capability toward the BASELINE planar-SLAM north star.
+
+TPU-first shape: fixed template size, fixed iteration counts, a
+coarse-to-fine pyramid of static depth, branch-free damped Gauss-Newton
+(accept/reject by ``where``), everything one jit — and trivially vmappable
+over many templates (multi-patch tracking is a batched call).
+
+Math (forward compositional, ESM gradient):
+  warp  w(x; H) = pi(H x),   update  H <- H . exp(sum_k d_k G_k)
+with G_k the sl(3) generators (:func:`sks_tpu.geom.lie.sl3_basis`).  At
+d = 0 the Jacobian column k at template pixel p is
+
+  J_k(p) = g(p)^T . dpi(y_p) . (H G_k x_p),      y_p = H x_p,
+
+where dpi is the 2x3 projection differential and g(p) the ESM gradient —
+the *mean* of the template gradient and the warped-image gradient, which
+buys second-order convergence for one extra sampling pass.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from sks_tpu.features.descriptors import bilinear_sample
+from sks_tpu.geom.lie import sl3_basis, sl3_exp
+
+__all__ = ["esm_track", "esm_track_pyramid"]
+
+
+def _grad(img: Array) -> tuple:
+    """Central-difference image gradients (H, W) -> (gx, gy)."""
+    gx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
+    gy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    return gx, gy
+
+
+@partial(jax.jit, static_argnames=("iters", "photometric", "dof"))
+def esm_track(
+    template: Array,
+    image: Array,
+    h0: Array,
+    origin: Array | None = None,
+    iters: int = 20,
+    damping: float = 1e-4,
+    photometric: bool = True,
+    huber: float = 0.1,
+    dof: int = 8,
+) -> tuple:
+    """Align ``image`` to ``template`` by ESM over SL(3).
+
+    Args:
+      template: (th, tw) grayscale template (the reference appearance).
+      image: (H, W) current frame.
+      h0: (3, 3) initial homography mapping template pixel coords ->
+        image pixel coords (e.g. the previous frame's estimate, or the
+        feature-RANSAC model to be polished).
+      origin: (2,) template's top-left in its own coordinate frame
+        (default (0, 0)); template pixel p has homogeneous coords
+        (origin + p, 1).
+      iters: damped Gauss-Newton iterations (static).
+      damping: Levenberg diagonal damping added to J^T J.
+      photometric: solve a closed-form gain/bias (I_w ~ a T + b) each
+        iteration — brightness constancy rarely holds between real frames
+        (exposure, gamma), and an unmodeled gain drags the geometry.
+      huber: Huber scale in intensity units; residuals beyond it are
+        downweighted (occlusions, out-of-plane pixels, rendering fill).
+      dof: leading sl(3) generators to optimize — 2 translation,
+        4 similarity, 6 affine, 8 full homography.  Small patches cannot
+        constrain the projective parameters; 6-DOF is the standard
+        small-patch model (the update stays inside SL(3) either way).
+
+    Returns:
+      (h (3, 3), rms residual () ) — ``h`` maps template coords -> image
+      coords; the residual is photometric RMS (gain/bias-compensated) over
+      valid (in-bounds) pixels.
+    """
+    th, tw = template.shape
+    dt = template.dtype
+    origin = (jnp.zeros((2,), dt) if origin is None
+              else jnp.asarray(origin, dt))
+    image = jnp.asarray(image, dt)
+    ys = jnp.arange(th, dtype=dt) + origin[1]
+    xs = jnp.arange(tw, dtype=dt) + origin[0]
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    # (N, 3) homogeneous template coords.
+    xh = jnp.stack(
+        [gx.reshape(-1), gy.reshape(-1), jnp.ones(th * tw, dt)], axis=-1
+    )
+    t_flat = template.reshape(-1)
+    tgx, tgy = _grad(template)
+    tg = jnp.stack([tgx.reshape(-1), tgy.reshape(-1)], axis=-1)  # (N, 2)
+    gens = sl3_basis(dt)[:dof]  # (dof, 3, 3)
+    h0f, w0f = image.shape[0] - 1.0, image.shape[1] - 1.0
+
+    igx, igy = _grad(image)
+
+    def gain_bias(iw, valid):
+        """Closed-form a, b minimizing sum valid (a T + b - I_w)^2."""
+        if not photometric:
+            return jnp.asarray(1.0, dt), jnp.asarray(0.0, dt)
+        n = jnp.maximum(jnp.sum(valid), 1.0)
+        st = jnp.sum(valid * t_flat)
+        si = jnp.sum(valid * iw)
+        stt = jnp.sum(valid * t_flat * t_flat)
+        sti = jnp.sum(valid * t_flat * iw)
+        var = jnp.maximum(stt - st * st / n, 1e-8)
+        a = (sti - st * si / n) / var
+        a = jnp.clip(a, 0.25, 4.0)
+        b = (si - a * st) / n
+        return a, b
+
+    def cost_of(h):
+        y = xh @ h.T
+        z = jnp.maximum(y[:, 2], 1e-6)
+        uv = y[:, :2] / z[:, None]
+        u, v = uv[:, 0], uv[:, 1]
+        valid = ((u >= 1.0) & (u <= w0f - 1.0)
+                 & (v >= 1.0) & (v <= h0f - 1.0)).astype(dt)
+        iw = bilinear_sample(image, uv)
+        a, b = gain_bias(iw, valid)
+        r = (iw - (a * t_flat + b)) * valid
+        w = jnp.minimum(1.0, huber / jnp.maximum(jnp.abs(r), 1e-12))
+        return jnp.sum(w * r * r), valid
+
+    def body(_, carry):
+        h, lam, _ = carry
+        y = xh @ h.T  # (N, 3)
+        z = y[:, 2]
+        iz = 1.0 / jnp.maximum(z, 1e-6)
+        u = y[:, 0] * iz
+        v = y[:, 1] * iz
+        uv = jnp.stack([u, v], axis=-1)
+        iw = bilinear_sample(image, uv)  # warped intensities
+        valid = ((u >= 1.0) & (u <= w0f - 1.0)
+                 & (v >= 1.0) & (v <= h0f - 1.0)
+                 & (z > 1e-6)).astype(dt)
+        a, b = gain_bias(iw, valid)
+        r = (iw - (a * t_flat + b)) * valid
+        # Huber IRLS weights: large residuals (occlusion, off-plane) fade.
+        w = jnp.minimum(1.0, huber / jnp.maximum(jnp.abs(r), 1e-12))
+        # ESM gradient: mean of (gain-scaled) template and warped gradients.
+        wg = jnp.stack(
+            [bilinear_sample(igx, uv), bilinear_sample(igy, uv)], axis=-1
+        )
+        g = 0.5 * (a * tg + wg) * (valid * w)[:, None]
+        # dpi(y) rows: [1/z, 0, -u/z], [0, 1/z, -v/z].
+        # J_k = g . dpi(y) . (H G_k x)  -> precompute M_k = H G_k (8, 3, 3).
+        m = jnp.einsum("ij,kjl->kil", h, gens)  # (8, 3, 3)
+        hgx = jnp.einsum("kil,nl->nki", m, xh)  # (N, 8, 3)
+        du = (hgx[..., 0] - u[:, None] * hgx[..., 2]) * iz[:, None]
+        dv = (hgx[..., 1] - v[:, None] * hgx[..., 2]) * iz[:, None]
+        jac = g[:, 0:1] * du + g[:, 1:2] * dv  # (N, 8)
+        a_mat = jac.T @ jac
+        a_mat = a_mat + lam * jnp.diag(jnp.diag(a_mat)) \
+            + 1e-10 * jnp.eye(dof, dtype=dt)
+        rhs = -(jac.T @ (w * r))
+        d = jnp.linalg.solve(a_mat, rhs)
+        d8 = jnp.zeros((8,), dt).at[:dof].set(d)
+        h_new = h @ sl3_exp(d8)
+        # Accept only improving, finite steps (branch-free).
+        c_old = jnp.sum(w * r * r)
+        c_new, _ = cost_of(h_new)
+        ok = jnp.isfinite(c_new) & (c_new < c_old) \
+            & jnp.all(jnp.isfinite(h_new))
+        h = jnp.where(ok, h_new, h)
+        # Adaptive LM damping: shrink on accept, grow on reject (a fixed
+        # damping re-proposes the same rejected step forever).
+        lam = jnp.where(ok, jnp.maximum(lam * 0.3, 1e-6), lam * 8.0)
+        nval = jnp.maximum(jnp.sum(valid), 1.0)
+        rms = jnp.sqrt(jnp.where(ok, c_new, c_old) / nval)
+        return h, lam, rms
+
+    h, _, rms = jax.lax.fori_loop(
+        0, iters, body,
+        (jnp.asarray(h0, dt), jnp.asarray(damping, dt),
+         jnp.asarray(jnp.inf, dt)),
+    )
+    return h, rms
+
+
+def _down2(img: Array) -> Array:
+    """2x2 mean downsample (even-cropped)."""
+    h2, w2 = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2
+    x = img[:h2, :w2]
+    return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2]
+                   + x[1::2, 1::2])
+
+
+@partial(jax.jit, static_argnames=("levels", "iters"))
+def esm_track_pyramid(
+    template: Array,
+    image: Array,
+    h0: Array,
+    levels: int = 3,
+    iters: int = 15,
+) -> tuple:
+    """Coarse-to-fine ESM: track at 1/2^(levels-1) ... full resolution.
+
+    Extends the convergence basin to motions of tens of pixels (single-level
+    ESM is local).  The homography is rescaled between levels with the
+    similarity conjugation H_l = S_l H S_l^{-1}, S_l = diag(1/2^l, 1/2^l, 1).
+
+    Returns (h (3, 3), rms at the finest level).
+    """
+    dt = template.dtype
+
+    def scaled(h, s):
+        s_mat = jnp.asarray([[s, 0.0, 0.0], [0.0, s, 0.0], [0.0, 0.0, 1.0]],
+                            dt)
+        s_inv = jnp.asarray(
+            [[1.0 / s, 0.0, 0.0], [0.0, 1.0 / s, 0.0], [0.0, 0.0, 1.0]], dt
+        )
+        return s_mat @ h @ s_inv
+
+    # Static pyramid (shapes halve per level).
+    tpl = [template]
+    img = [image]
+    for _ in range(levels - 1):
+        tpl.append(_down2(tpl[-1]))
+        img.append(_down2(img[-1]))
+
+    h = jnp.asarray(h0, dt)
+    rms = jnp.asarray(jnp.inf, dt)
+    for lvl in range(levels - 1, -1, -1):
+        s = 0.5 ** lvl
+        h_l = scaled(h, s)
+        h_l, rms = esm_track(tpl[lvl], img[lvl], h_l, iters=iters)
+        h = scaled(h_l, 1.0 / s)
+    return h, rms
