@@ -84,13 +84,18 @@ def find_homography(
     tar = jnp.asarray(tar)
 
     scoring = {"ransac": "inliers", "fused": "inliers"}.get(method, method)
-    # On TPU the fused Pallas kernel IS the production path: route eligible
-    # configurations through it automatically (identical semantics to the
-    # general path with solver='aca' — the top-K candidates are re-scored on
-    # the XLA path before selection).
+    # On TPU the fused Pallas kernel IS the production path for the
+    # fixed-batch fit: route eligible configurations through it automatically
+    # (identical semantics to the general path with solver='aca' — the top-K
+    # candidates are re-scored on the XLA path before selection).  The
+    # confidence early-exit loop auto-routes to XLA instead: its small
+    # per-chunk batches sit below the Pallas launch-overhead crossover
+    # (measured ~250x slower at chunk=256; the kernel wins at B >= 1e5).
+    # method='fused' forces the kernel on either path.
     fused = method == "fused" or (
         method in ("ransac", "msac", "magsac")
         and solver == "aca"
+        and confidence is None
         and jax.default_backend() == "tpu"
     )
     if fused and method == "fused":
