@@ -14,6 +14,13 @@ coarse-to-fine pyramid of static depth, branch-free damped Gauss-Newton
 (accept/reject by ``where``), everything one jit — and trivially vmappable
 over many templates (multi-patch tracking is a batched call).
 
+Throughput note (measured, ``bench_results/ESM_TRACK.json``): ~150
+64x64-template tracks/s on one v5e at 10 iterations each.  The inner loop is
+*gather*-bound (three irregular bilinear samples per pixel per iteration —
+the one access pattern the MXU/VPU cannot vectorize), so the tracker's role
+is precision and density (sub-pixel polish, dense motion priors), not bulk
+throughput — that is the feature pipeline's job (2,241 frames/s).
+
 Math (forward compositional, ESM gradient):
   warp  w(x; H) = pi(H x),   update  H <- H . exp(sum_k d_k G_k)
 with G_k the sl(3) generators (:func:`sks_tpu.geom.lie.sl3_basis`).  At
