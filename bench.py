@@ -20,8 +20,8 @@ elementwise chained loop runs a 64 MB carry at an implied 10.8 TB/s (13x the
 HBM spec) but a 512 MB carry at 638 GB/s (78% of the 819 GB/s spec).  So the
 B=1M headline is an **on-chip (VMEM-resident) steady state** — representative
 of the fused-RANSAC production path, where hypotheses are solved and scored
-in VMEM and never round-trip HBM — while B=4M (400 MB working set) forces
-genuine HBM streaming.  The JSON reports both, with effective GB/s and
+in VMEM and never round-trip HBM — while B=2M (200 MB working set) forces
+genuine HBM input streaming (B=4M trips a compile-time HBM budget).  The JSON reports both, with effective GB/s and
 roofline fractions.  Spec: TPU v5e ("TPU v5 lite") HBM ~819 GB/s.
 """
 
@@ -88,7 +88,7 @@ def main():
         "device_kind": device_kind,
         "hbm_spec_gbps": spec,
         "regime_b1m": "vmem_resident (100 MB working set < 128 MB VMEM)",
-        "hps_hbm_streaming_b4m": hps_stream,
+        "hps_hbm_streaming_b2m": hps_stream,
     }
     if spec:
         out["roofline_hps_hbm"] = roofline_hps(spec)

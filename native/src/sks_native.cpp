@@ -464,6 +464,10 @@ inline void jacobi_smallest_col(T a[N][N], T* v_out, int sweeps) {
 // reference builds a dense 8x9 stack and calls cv::eigen / device SVD).
 template <typename T>
 inline void ndlt_core_native(const T* s, const T* t, T* h) {
+  // Deliberately the f32 tiny for BOTH dtypes, mirroring the Python twin
+  // (ops/ndlt.py ndlt_core): the Hartley scale divides by a mean |dev| that
+  // is >= a pixel for any non-coincident quad; the floor only guards
+  // all-equal points and must not differ across dtypes.
   const T tiny = std::numeric_limits<float>::min();
   const T quarter = T(0.25);
 

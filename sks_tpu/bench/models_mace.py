@@ -47,9 +47,9 @@ def train_and_eval(steps: int = 300, batch: int = 32, image_size: int = 64,
            "eval_batch": eval_batch}
 
     # Fused datagen + train step, scanned on device in chunks: one dispatch
-    # per 50 steps (host-looped per-step training would bottleneck on the
+    # per chunk (host-looped per-step training would bottleneck on the
     # ~30 ms relay RTT of the tunneled TPU).
-    chunk = 50
+    chunk = max(1, min(50, steps))
 
     def scan_train(step_fn, state, salt):
         def body(state, i):
@@ -65,11 +65,16 @@ def train_and_eval(steps: int = 300, batch: int = 32, image_size: int = 64,
                                 start + jnp.arange(chunk, dtype=jnp.int32))
 
         t0 = time.perf_counter()
-        loss = None
-        for c in range(steps // chunk):
-            state, losses = run_chunk(state, jnp.asarray(c * chunk, jnp.int32))
+        last = 0.0
+        # ceil-divide: the final chunk may re-run a few step indices rather
+        # than silently under-training (steps is a budget, not a count of
+        # unique batches).
+        for c in range(-(-steps // chunk)):
+            start = min(c * chunk, max(steps - chunk, 0))
+            state, losses = run_chunk(state, jnp.asarray(start, jnp.int32))
+            last = losses[-1]
         jax.block_until_ready(state.params)
-        return state, float(losses[-1]), time.perf_counter() - t0
+        return state, float(last), time.perf_counter() - t0
 
     # --- One-shot CNN ---
     model, state = create_train_state(k_cnn, image_size=image_size)

@@ -70,9 +70,12 @@ def measure_pipeline_fps(num_frames: int = 16, shape=(240, 320),
     t1 = run(k1)
     t2 = run(k2)
     sec_per_invoke = max((t2 - t1) / (k2 - k1), 1e-9)
-    fps = (num_frames - 1) / sec_per_invoke  # pairs processed per second
+    # Each invoke ingests T frames and fits T-1 pairs.  In steady-state
+    # video, every new frame contributes exactly one new pair, so pairs/s IS
+    # the sustained frames/s; the chunked rate T/invoke is also reported.
+    pps = (num_frames - 1) / sec_per_invoke
     return {
-        "metric": "pipeline_frames_per_sec_per_chip",
+        "metric": "pipeline_pairs_per_sec_per_chip",
         "frames": num_frames,
         "shape": list(shape),
         "num_corners": num_corners,
@@ -80,7 +83,8 @@ def measure_pipeline_fps(num_frames: int = 16, shape=(240, 320),
         "backend": jax.default_backend(),
         "device_kind": jax.devices()[0].device_kind,
         "sec_per_pipeline_invoke": sec_per_invoke,
-        "frames_per_sec": fps,
+        "pairs_per_sec_steady_state_frames_per_sec": pps,
+        "frames_per_chunked_invoke_per_sec": num_frames / sec_per_invoke,
         "fused_ransac": config.fused,
     }
 

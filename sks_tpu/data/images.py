@@ -70,8 +70,8 @@ def photo_texture(shape: tuple = (480, 640), dtype=jnp.float32,
     callers can fall back to :func:`plane_texture` — keeps the module
     import-clean in minimal envs.
     """
-    import importlib
     import os
+    from importlib import resources
 
     try:
         from PIL import Image
@@ -83,10 +83,9 @@ def photo_texture(shape: tuple = (480, 640), dtype=jnp.float32,
         )
     pkg, rel = _PHOTO_CANDIDATES[name]
     try:
-        root = os.path.dirname(importlib.import_module(pkg).__file__)
-    except ImportError:
+        path = str(resources.files(pkg).joinpath(rel))
+    except (ImportError, ModuleNotFoundError):
         return None
-    path = os.path.join(root, rel)
     if not os.path.isfile(path):
         return None
     if _probe:

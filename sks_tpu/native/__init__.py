@@ -33,11 +33,14 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
-        subprocess.run(
-            ["make", "-s"], cwd=_NATIVE_DIR, check=True,
-            env={**os.environ, "MAKEFLAGS": ""},
-        )
+    # Always invoke make: it is a timestamp no-op when the .so is fresh, and
+    # it rebuilds stale libraries that predate newly exported symbols (a
+    # stale .so would otherwise fail getattr below and silently disable the
+    # whole native layer).
+    subprocess.run(
+        ["make", "-s"], cwd=_NATIVE_DIR, check=True,
+        env={**os.environ, "MAKEFLAGS": ""},
+    )
     lib = ctypes.CDLL(str(_LIB_PATH))
     f32p = ctypes.POINTER(ctypes.c_float)
     f64p = ctypes.POINTER(ctypes.c_double)

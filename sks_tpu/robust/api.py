@@ -63,7 +63,9 @@ def find_homography(
       confidence: if set (e.g. 0.995, the cv2 default semantic), run the
         early-exit loop (:func:`ransac_homography_adaptive`): chunks of 256
         hypotheses until the termination bound is met or ``max_iters`` total.
-        Composes with the fused path (each chunk runs the Pallas kernel).
+        Runs on the XLA path by default (the Pallas kernel's per-launch
+        overhead loses at chunk scale, bench_results/FUSED_ADAPTIVE.json);
+        ``method='fused'`` forces the kernel per chunk.
       sampling: 'uniform', or 'prosac' progressive sampling (src/tar must be
         sorted by descending match quality).  Composes with the fused path.
       point_mask: optional (..., N) bool validity for padded fixed-shape
@@ -139,9 +141,9 @@ def find_homography(
         bshape = src.shape[:-2]
         srcf = src.reshape(-1, *src.shape[-2:])
         tarf = tar.reshape(-1, *tar.shape[-2:])
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-            jnp.arange(srcf.shape[0])
-        )
+        from sks_tpu.utils.rng import fold_in_stream
+
+        keys = fold_in_stream(key, srcf.shape[0])
         pmf = (None if point_mask is None
                else jnp.asarray(point_mask).reshape(-1, src.shape[-2]))
         if pmf is None:

@@ -172,8 +172,14 @@ def anneal_polish(
 
     def consensus_mass(h, mult):
         r2 = _residual2(h[None], src, tar)[0]
-        # _residual2 is the symmetric (fwd+bwd) squared transfer error; the
-        # per-direction threshold m*thr corresponds to 2 (m thr)^2 on it.
+        # _residual2 is the symmetric (fwd+bwd) squared transfer error.  The
+        # polish gate is 2 (m thr)^2 — i.e. m*thr per *direction* — which at
+        # m = 1 is deliberately sqrt(2) looser than the stack's reported
+        # inlier rule (r2 < thr^2, score_hypotheses): the first level
+        # re-admits borderline points the hard rule clipped, and the anneal
+        # then tightens BELOW the inlier rule (m = 0.7 level ~ its 0.99x).
+        # The (1.0, 0.7, 0.5) levels were selected against cv2 under this
+        # gate (bench_results/REAL_PHOTO.md).
         t2 = 2.0 * (mult * jnp.asarray(threshold, dt)) ** 2
         m = r2 < t2
         if pm is not None:

@@ -197,6 +197,12 @@ def sample_minimal_sets_prosac(
     ``sizes`` optionally supplies a precomputed growth schedule slice so
     chunked callers can continue one global schedule instead of restarting it
     (see :func:`ransac_homography_adaptive`).
+
+    Padded fixed-shape sets: PROSAC assumes quality-sorted points, so pad at
+    the *end* (the natural layout for a quality-sorted matcher).  The growth
+    schedule then touches padded slots only in its late uniform tail, where
+    scoring's ``point_mask`` discards them — no special handling needed
+    (uniform sampling, by contrast, draws mask-aware, see ``_sample_chunk``).
     """
     if sizes is None:
         sizes = jnp.asarray(prosac_prefix_sizes(num_points, batch))  # (B,)

@@ -144,10 +144,13 @@ def vo_trajectory(
       dict: poses (T, 4, 4) cam->world, rel (T-1, 4, 4), num_inliers (T-1,),
       and (with closures) closure_inliers (E,).
     """
+    from sks_tpu.utils.rng import CLOSURE_STREAM_OFFSET, fold_in_stream
+
     t_minus_1 = pts1.shape[0]
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-        jnp.arange(t_minus_1)
+    assert t_minus_1 < CLOSURE_STREAM_OFFSET, (
+        "consecutive-pair RNG stream would collide with the closure stream"
     )
+    keys = fold_in_stream(key, t_minus_1)
     if plane_normal is None:
         plane_normal = jnp.asarray([0.0, 0.0, 1.0], pts1.dtype)
 
@@ -164,9 +167,8 @@ def vo_trajectory(
     rel_c = None
     if closure_pairs is not None:
         cp = jnp.asarray(closure_pairs, jnp.int32)
-        ckeys = jax.vmap(lambda i: jax.random.fold_in(key, 10_000 + i))(
-            jnp.arange(cp.shape[0])
-        )
+        ckeys = fold_in_stream(key, cp.shape[0],
+                               offset=CLOSURE_STREAM_OFFSET)
         cm = (jnp.ones(closure_pts1.shape[:-1], bool) if closure_mask is None
               else closure_mask)
         r_c, tt_c, n_c, ninl_c = jax.vmap(fit_one)(

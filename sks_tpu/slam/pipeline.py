@@ -16,8 +16,10 @@ Two entry points:
   fits its pair shard — detection/matching/RANSAC are embarrassingly
   parallel over pairs), one ``all_gather`` of the tiny per-pair
   (R, t/d, n, inliers) tuples rides ICI, and the metric chain (an
-  associative scan over T 4x4 matrices) is replicated.  Bit-identical to the
-  single-device result (same per-pair fold_in streams).
+  associative scan over T 4x4 matrices) is replicated.  Matches the
+  single-device result to float tolerance (same per-pair fold_in streams;
+  XLA may reassociate reductions under shard_map, flipping borderline
+  ratio-test matches — see tests/test_pipeline.py).
 
 Benchmarked in ``bench/pipeline_fps.py`` (frames/s on the real chip ->
 ``bench_results/PIPELINE_FPS.json``).
@@ -56,10 +58,9 @@ def _fit_pairs(key, frames1, frames2, k_mat, config, num_corners,
     p1s, p2s, masks = jax.vmap(
         lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
     )(frames1, frames2)
-    n_pairs = frames1.shape[0]
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i + pair_offset))(
-        jnp.arange(n_pairs)
-    )
+    from sks_tpu.utils.rng import fold_in_stream
+
+    keys = fold_in_stream(key, frames1.shape[0], offset=pair_offset)
     return jax.vmap(
         lambda k, p1, p2, pm: fit_pair(k, p1, p2, pm, k_mat, config,
                                        plane_normal)
@@ -110,9 +111,9 @@ def sharded_frames_to_poses(
 
     T-1 (the pair count) must divide the mesh axis size.  Each device runs
     detect/describe/match/RANSAC/pose for its contiguous pair shard with the
-    *global* pair index folded into its RNG keys, so results are
-    bit-identical to :func:`frames_to_poses`; the all_gather moves only
-    (T-1) x (3x3 + 3 + 3 + 1) floats.
+    *global* pair index folded into its RNG keys, so results match
+    :func:`frames_to_poses` up to float-reassociation tolerance; the
+    all_gather moves only (T-1) x (3x3 + 3 + 3 + 1) floats.
     """
     if plane_normal is None:
         plane_normal = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)

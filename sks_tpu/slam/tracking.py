@@ -48,9 +48,16 @@ __all__ = ["esm_track", "esm_track_pyramid"]
 
 
 def _grad(img: Array) -> tuple:
-    """Central-difference image gradients (H, W) -> (gx, gy)."""
-    gx = 0.5 * (jnp.roll(img, -1, axis=1) - jnp.roll(img, 1, axis=1))
-    gy = 0.5 * (jnp.roll(img, -1, axis=0) - jnp.roll(img, 1, axis=0))
+    """Edge-clamped central-difference gradients (H, W) -> (gx, gy).
+
+    Edge padding (not wrap): a rolled difference would mix opposite borders
+    into the boundary pixels' gradients, injecting garbage rows into the
+    ESM normal equations at full weight.
+    """
+    px = jnp.pad(img, ((0, 0), (1, 1)), mode="edge")
+    py = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
+    gx = 0.5 * (px[:, 2:] - px[:, :-2])
+    gy = 0.5 * (py[2:, :] - py[:-2, :])
     return gx, gy
 
 
