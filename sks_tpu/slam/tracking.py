@@ -19,7 +19,7 @@ Throughput note (measured, ``bench_results/ESM_TRACK.json``): ~150
 *gather*-bound (three irregular bilinear samples per pixel per iteration —
 the one access pattern the MXU/VPU cannot vectorize), so the tracker's role
 is precision and density (sub-pixel polish, dense motion priors), not bulk
-throughput — that is the feature pipeline's job (2,241 frames/s).
+throughput — that is the feature pipeline's job (~2,100 pairs/s).
 
 Math (forward compositional, ESM gradient):
   warp  w(x; H) = pi(H x),   update  H <- H . exp(sum_k d_k G_k)
