@@ -19,6 +19,7 @@ from sks_tpu.slam.posegraph import (  # noqa: F401
 )
 from sks_tpu.slam.pipeline import (  # noqa: F401
     frames_to_poses,
+    planar_slam,
     sharded_frames_to_poses,
 )
 from sks_tpu.slam.tracking import (  # noqa: F401

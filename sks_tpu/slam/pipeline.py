@@ -38,7 +38,7 @@ from sks_tpu.features.matching import match_frames_oriented
 from sks_tpu.robust.ransac import RansacConfig
 from sks_tpu.slam.odometry import chain_metric, fit_pair
 
-__all__ = ["frames_to_poses", "sharded_frames_to_poses"]
+__all__ = ["frames_to_poses", "sharded_frames_to_poses", "planar_slam"]
 
 
 def _match_pad(f1: Array, f2: Array, num_corners: int, num_octaves: int,
@@ -91,6 +91,59 @@ def frames_to_poses(
     )
     rel, poses, _ = chain_metric(r, t_over_d, n, plane_depth)
     return {"poses": poses, "rel": rel, "num_inliers": ninl}
+
+
+@partial(jax.jit, static_argnames=("config", "num_corners", "num_octaves",
+                                   "plane_depth", "strides", "smooth"))
+def planar_slam(
+    key: Array,
+    frames: Array,
+    k_mat: Array,
+    config: RansacConfig = RansacConfig(num_hypotheses=1024),
+    num_corners: int = 384,
+    num_octaves: int = 2,
+    plane_depth: float = 1.0,
+    plane_normal: Array | None = None,
+    strides: tuple = (4, 8),
+    smooth: bool = True,
+):
+    """The full planar-SLAM capstone in ONE jit: pixels -> loop-closed poses.
+
+    Detection, description, matching (consecutive AND frame-i<->i+k closure
+    candidates), RANSAC homography fits, pose recovery, metric chaining, and
+    pose-graph relaxation over odometry + loop-closure edges — the whole
+    system a production caller invokes, with every stage device-resident.
+
+    Args:
+      frames: (T, H, W) grayscale sequence.
+      strides: closure-candidate strides (frame i matched against i+k for
+        each k; static — see ``slam.odometry.closure_candidates``).
+      smooth: pose-graph relaxation (odometry + inlier-gated closure edges).
+        With ``smooth=False`` this reduces to :func:`frames_to_poses` plus
+        closure diagnostics.
+
+    Returns:
+      dict: poses (T, 4, 4), rel (T-1, 4, 4), num_inliers (T-1,),
+      closure_inliers (E,).  On a rendered closed circuit the closures cut
+      ATE ~2.6x vs the raw chain (bench_results/LOOP_CLOSURE.json).
+    """
+    from sks_tpu.slam.odometry import closure_candidates, vo_trajectory
+
+    shape = frames.shape[-2:]
+    p1s, p2s, masks = jax.vmap(
+        lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
+    )(frames[:-1], frames[1:])
+    pairs = closure_candidates(frames.shape[0], strides)
+    cp = jnp.asarray(pairs, jnp.int32)
+    c1s, c2s, cmasks = jax.vmap(
+        lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
+    )(frames[cp[:, 0]], frames[cp[:, 1]])
+    return vo_trajectory(
+        key, p1s, p2s, k_mat, config, plane_depth=plane_depth,
+        smooth=smooth, plane_normal=plane_normal, point_mask=masks,
+        closure_pairs=cp, closure_pts1=c1s, closure_pts2=c2s,
+        closure_mask=cmasks,
+    )
 
 
 @partial(jax.jit, static_argnames=("mesh", "config", "num_corners",

@@ -52,3 +52,24 @@ def test_sharded_pipeline_matches_single_device(key):
     ninl_s = np.asarray(single["num_inliers"], np.int64)
     ninl_m = np.asarray(sharded["num_inliers"], np.int64)
     assert np.max(np.abs(ninl_s - ninl_m)) <= 2, (ninl_s, ninl_m)
+
+
+@pytest.mark.slow
+def test_planar_slam_closes_the_loop(key):
+    """One-call capstone: pixels -> loop-closed poses beats the raw chain."""
+    from sks_tpu.data.images import planar_sequence
+    from sks_tpu.slam.pipeline import planar_slam
+    from sks_tpu.slam.posegraph import ate_rmse
+
+    frames, poses_gt, k_mat = planar_sequence(key, 12, (240, 320), loop=True)
+    config = RansacConfig(num_hypotheses=1024, threshold=2.0, refine_iters=2)
+    kw = dict(plane_depth=3.0, strides=(4, 6))
+    raw = planar_slam(key, frames, k_mat, config, smooth=False, **kw)
+    closed = planar_slam(key, frames, k_mat, config, smooth=True, **kw)
+    ate_raw = float(ate_rmse(raw["poses"], poses_gt))
+    ate_closed = float(ate_rmse(closed["poses"], poses_gt))
+    assert np.isfinite(ate_closed)
+    assert ate_closed < 0.85 * ate_raw, (ate_raw, ate_closed)
+    assert closed["closure_inliers"].shape[0] == len(
+        [(i, i + k) for k in (4, 6) for i in range(12 - k)]
+    )
