@@ -73,3 +73,18 @@ def test_planar_slam_closes_the_loop(key):
     assert closed["closure_inliers"].shape[0] == len(
         [(i, i + k) for k in (4, 6) for i in range(12 - k)]
     )
+
+
+def test_planar_slam_smoke(key):
+    """Default-suite smoke: tiny pixels -> loop-closed poses, finite."""
+    from sks_tpu.data.images import planar_sequence
+    from sks_tpu.slam.pipeline import planar_slam
+
+    frames, _, k_mat = planar_sequence(key, 6, (96, 128), focal=120.0,
+                                       loop=True)
+    config = RansacConfig(num_hypotheses=128, threshold=2.0, refine_iters=1)
+    out = planar_slam(key, frames, k_mat, config, num_corners=64,
+                      num_octaves=1, plane_depth=3.0, strides=(2,))
+    assert out["poses"].shape == (6, 4, 4)
+    assert bool(jnp.all(jnp.isfinite(out["poses"])))
+    assert out["closure_inliers"].shape == (4,)
