@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-__all__ = ["harris_response", "detect_corners", "detect_corners_pyramid"]
+__all__ = ["harris_response", "detect_corners", "detect_corners_pyramid",
+           "subpixel_refine"]
 
 
 def _conv2(img: Array, kern: Array) -> Array:
@@ -55,19 +56,72 @@ def harris_response(img: Array, k: float = 0.04, sigma: float = 1.5) -> Array:
     return det - k * tr * tr
 
 
-@partial(jax.jit, static_argnames=("num_corners", "nms_radius", "border"))
+def subpixel_refine(resp: Array, yy: Array, xx: Array) -> tuple[Array, Array]:
+    """Sub-pixel corner localization by a 3x3 quadratic fit of the response.
+
+    Fits ``r(d) = r0 + g.d + d'Hd/2`` to the 3x3 neighborhood of each integer
+    maximum (central differences for the gradient ``g`` and Hessian ``H``) and
+    moves the corner to the stationary point ``d* = -H^{-1} g``.  The offset
+    is trusted only when the fit is a genuine maximum (``det H > 0``,
+    ``tr H < 0``) and lands inside the pixel (|d*| <= 0.75 per axis, clamped
+    to +-0.5); otherwise the integer location is kept.  ~20 flops/corner.
+
+    The reference emits integer-grid corners only — its accuracy machinery
+    lives in the solver normalization instead (``C++ Codes/modules/
+    HO.cpp:33-149``); on real photographs the quantization (up to 0.5 px at
+    octave 0, ``2^o/2`` px at octave o) caps the whole pipeline's accuracy,
+    so the TPU build refines at the source.
+
+    Args:
+      resp: (H, W) Harris response.
+      yy/xx: (K,) int32 integer corner coordinates.
+
+    Returns:
+      (yf, xf): (K,) float32 refined coordinates.
+    """
+    h, w = resp.shape[-2:]
+    # Clamp so the 3x3 stencil is always in-bounds (padded/invalid slots may
+    # carry arbitrary indices; real corners are >= border >= 1 from the edge).
+    yc = jnp.clip(yy, 1, h - 2)
+    xc = jnp.clip(xx, 1, w - 2)
+
+    def at(dy, dx):
+        return resp[yc + dy, xc + dx].astype(jnp.float32)
+
+    r0 = at(0, 0)
+    gx = 0.5 * (at(0, 1) - at(0, -1))
+    gy = 0.5 * (at(1, 0) - at(-1, 0))
+    hxx = at(0, 1) - 2.0 * r0 + at(0, -1)
+    hyy = at(1, 0) - 2.0 * r0 + at(-1, 0)
+    hxy = 0.25 * (at(1, 1) - at(1, -1) - at(-1, 1) + at(-1, -1))
+    det = hxx * hyy - hxy * hxy
+    # d* = -H^{-1} g (2x2 adjugate solve).
+    safe = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    ox = -(hyy * gx - hxy * gy) / safe
+    oy = -(hxx * gy - hxy * gx) / safe
+    good = (det > 0) & (hxx + hyy < 0) & (jnp.abs(ox) <= 0.75) \
+        & (jnp.abs(oy) <= 0.75)
+    ox = jnp.where(good, jnp.clip(ox, -0.5, 0.5), 0.0)
+    oy = jnp.where(good, jnp.clip(oy, -0.5, 0.5), 0.0)
+    return yc.astype(jnp.float32) + oy, xc.astype(jnp.float32) + ox
+
+
+@partial(jax.jit, static_argnames=("num_corners", "nms_radius", "border",
+                                   "subpixel"))
 def detect_corners(
     img: Array,
     num_corners: int = 512,
     nms_radius: int = 4,
     border: int = 16,
     k: float = 0.04,
+    subpixel: bool = True,
 ):
     """Top-K Harris corners with non-max suppression (fixed output shape).
 
     Args:
       img: (H, W) grayscale.
       num_corners: static K; weaker slots are padded and masked out.
+      subpixel: refine each maximum with :func:`subpixel_refine` (default).
 
     Returns:
       (xy (K, 2) float32 [x, y], score (K,), valid (K,) bool).
@@ -90,8 +144,13 @@ def detect_corners(
 
     flat = resp_sup.reshape(-1)
     score, idx = jax.lax.top_k(flat, num_corners)
-    yy = (idx // w).astype(jnp.float32)
-    xx = (idx % w).astype(jnp.float32)
+    yi = idx // w
+    xi = idx % w
+    if subpixel:
+        yy, xx = subpixel_refine(resp, yi, xi)
+    else:
+        yy = yi.astype(jnp.float32)
+        xx = xi.astype(jnp.float32)
     valid = jnp.isfinite(score) & (score > 0)
     return jnp.stack([xx, yy], axis=-1), score, valid
 
@@ -106,7 +165,7 @@ def _downsample2(img: Array) -> Array:
 
 
 @partial(jax.jit, static_argnames=("num_corners", "num_octaves", "nms_radius",
-                                   "border"))
+                                   "border", "subpixel"))
 def detect_corners_pyramid(
     img: Array,
     num_corners: int = 512,
@@ -114,13 +173,17 @@ def detect_corners_pyramid(
     nms_radius: int = 4,
     border: int = 16,
     k: float = 0.04,
+    subpixel: bool = True,
 ):
     """Top-K Harris corners over an octave pyramid (fixed output shape).
 
     Per octave the image is 2x average-pooled and the single-scale detector
     runs unchanged; responses are compared globally (Harris response is
     homogeneous in the local gradient energy, comparable across octaves after
-    pooling) and the winners carry their octave's scale.
+    pooling) and the winners carry their octave's scale.  With ``subpixel``
+    (default) every octave's maxima are quadratically refined *in the pooled
+    grid* before upscaling, so octave-o corners are continuous rather than
+    quantized to ``2^o`` px.
 
     Returns:
       (xy (K, 2) float32 full-resolution [x, y], score (K,), valid (K,) bool,
@@ -130,7 +193,8 @@ def detect_corners_pyramid(
     xys, scores, valids, scales = [], [], [], []
     level = img
     for o in range(num_octaves):
-        xy, sc, va = detect_corners(level, per, nms_radius, border, k)
+        xy, sc, va = detect_corners(level, per, nms_radius, border, k,
+                                    subpixel)
         f = float(2 ** o)
         xys.append(xy * f + (f - 1) / 2.0)  # pooled-pixel center offset
         scores.append(jnp.where(va, sc, -jnp.inf))

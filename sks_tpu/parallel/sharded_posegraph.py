@@ -37,7 +37,7 @@ __all__ = ["sharded_optimize_posegraph", "shard_graph"]
 def shard_graph(graph: PoseGraph, mesh: Mesh, axis: str = "edge") -> PoseGraph:
     """Device-put a PoseGraph with edges sharded over ``mesh[axis]``.
 
-    The edge count must divide the mesh axis size — pad with zero-weight
+    The mesh axis size must divide the edge count — pad with zero-weight
     edges (weights 0 disables an edge) to round up, the same fixed-shape
     padding convention the rest of the stack uses.
     """

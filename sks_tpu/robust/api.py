@@ -61,11 +61,12 @@ def find_homography(
       key: PRNG key (default: PRNGKey(0) — deterministic).
       refine_iters: IRLS local-optimization rounds on the consensus set.
       confidence: if set (e.g. 0.995, the cv2 default semantic), run the
-        early-exit loop (:func:`ransac_homography_adaptive`): chunks of 256
-        hypotheses until the termination bound is met or ``max_iters`` total.
-        Runs on the XLA path by default (the Pallas kernel's per-launch
-        overhead loses at chunk scale, bench_results/FUSED_ADAPTIVE.json);
-        ``method='fused'`` forces the kernel per chunk.
+        early-exit loop (:func:`ransac_homography_adaptive`): geometrically
+        growing chunks (256 -> 1024 -> 4096 -> ... capped at 2^17) until the
+        termination bound is met or ``max_iters`` total.  Small chunks run
+        the XLA path (the Pallas kernel's per-launch overhead loses at chunk
+        scale); stages above the measured ~1e5-hypothesis crossover run the
+        fused kernel on TPU (bench_results/FUSED_ADAPTIVE.json).
       sampling: 'uniform', or 'prosac' progressive sampling (src/tar must be
         sorted by descending match quality).  Composes with the fused path.
       point_mask: optional (..., N) bool validity for padded fixed-shape
@@ -90,14 +91,17 @@ def find_homography(
     # fixed-batch fit: route eligible configurations through it automatically
     # (identical semantics to the general path with solver='aca' — the top-K
     # candidates are re-scored on the XLA path before selection).  The
-    # confidence early-exit loop auto-routes to XLA instead: its small
-    # per-chunk batches sit below the Pallas launch-overhead crossover
-    # (measured ~250x slower at chunk=256; the kernel wins at B >= 1e5).
-    # method='fused' forces the kernel on either path.
+    # confidence early-exit loop grows its chunks geometrically
+    # (256 -> 1024 -> ... -> 2^17) and gates the kernel per stage: small
+    # chunks run XLA (the kernel's launch overhead loses ~250x at chunk=256,
+    # bench_results/FUSED_ADAPTIVE.json), stages at or above the measured
+    # B >= ~1e5 crossover run the kernel — so high-outlier fits that burn
+    # through the budget reach the fused-kernel regime automatically.
+    # method='fused' forces kernel eligibility on either path (still
+    # stage-gated under confidence).
     fused = method == "fused" or (
         method in ("ransac", "msac", "magsac")
         and solver == "aca"
-        and confidence is None
         and jax.default_backend() == "tpu"
     )
     if fused and method == "fused":

@@ -16,7 +16,7 @@ SURVEY.md §5 calls for.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 
 import jax
@@ -422,7 +422,12 @@ def _eval_chunk_fused(key, src, tar, config, point_mask, prosac_sizes=None):
         h_top, src, tar, config.threshold, point_mask, config.scoring,
         config.sigma_max, config.df64_scoring,
     )
-    return h_top, sc_top, inl[0]
+    # The kernel ordered candidates by its own counts; the XLA re-score can
+    # disagree near ties (different summation order / sigma weighting), and
+    # _refine_and_pack's contract is "best first" — re-sort by the re-score
+    # (ADVICE r3).
+    order = jnp.argsort(-sc_top)
+    return h_top[order], sc_top[order], inl[order[0]]
 
 
 def _eval_chunk(key, src, tar, config, point_mask, prosac_sizes=None):
@@ -548,7 +553,40 @@ def ransac_homography(
     )
 
 
-@partial(jax.jit, static_argnames=("config", "max_chunks"))
+#: Adaptive-loop chunk size from which the fused Pallas kernel beats the XLA
+#: chunk path (measured crossover ~1e5 hypotheses: TABLE8.md fused rows win
+#: at B >= 1e5; at chunk=256 the kernel's launch overhead loses ~250x,
+#: bench_results/FUSED_ADAPTIVE.json).  Stages below this run XLA even with
+#: ``config.fused`` — the loop picks the winner per stage.
+FUSED_ADAPTIVE_MIN_CHUNK = 131072
+
+
+def _chunk_schedule(chunk0: int, max_chunks: int, growth: int,
+                    chunks_per_stage: int, max_chunk: int):
+    """[(chunk_size, num_chunks), ...] stages covering chunk0 * max_chunks.
+
+    Geometric growth: ``chunks_per_stage`` chunks at each size, size x
+    ``growth`` between stages, capped at ``max_chunk``; the final stage
+    absorbs the remaining budget at the cap size.
+    """
+    total = chunk0 * max_chunks
+    if growth <= 1 or max_chunks <= 1 or max_chunk <= chunk0:
+        return [(chunk0, max_chunks)]
+    stages = []
+    c, budget = chunk0, 0
+    while budget < total:
+        remaining_chunks = -(-(total - budget) // c)
+        n = remaining_chunks if c >= max_chunk else min(
+            chunks_per_stage, remaining_chunks
+        )
+        stages.append((c, n))
+        budget += c * n
+        c = min(c * growth, max_chunk)
+    return stages
+
+
+@partial(jax.jit, static_argnames=("config", "max_chunks", "growth",
+                                   "chunks_per_stage", "max_chunk"))
 def ransac_homography_adaptive(
     key: Array,
     src: Array,
@@ -557,31 +595,52 @@ def ransac_homography_adaptive(
     confidence: float = 0.99,
     max_chunks: int = 16,
     point_mask: Array | None = None,
+    growth: int = 4,
+    chunks_per_stage: int = 2,
+    max_chunk: int | None = None,
 ) -> RansacResult:
     """RANSAC with confidence-based early exit (cv2 ``confidence`` semantic).
 
     The fixed-batch :func:`ransac_homography` sizes its budget for the
     worst-case outlier ratio; on easy problems most of that work is wasted.
-    This variant evaluates hypotheses in fixed-shape chunks of
-    ``config.num_hypotheses`` inside a ``lax.while_loop`` and stops once the
-    standard RANSAC termination bound says the hypotheses drawn so far find an
-    all-inlier sample with probability >= ``confidence``:
+    This variant evaluates hypotheses in fixed-shape chunks inside
+    ``lax.while_loop``s and stops once the standard RANSAC termination bound
+    says the hypotheses drawn so far find an all-inlier sample with
+    probability >= ``confidence``:
 
         k_needed = log(1 - confidence) / log(1 - w^4),   w = inlier ratio,
 
-    capped at ``max_chunks`` chunks (the fixed worst-case budget).  Everything
-    stays static-shape — the data-dependent part is only the trip count, which
-    XLA supports natively on TPU (SURVEY.md §7 hard part (d)).
+    capped at a total budget of ``config.num_hypotheses * max_chunks``.
 
-    ``confidence`` is traced (changing it does not recompile); ``max_chunks``
-    and ``config`` are static.
+    **Geometric chunk growth** (VERDICT r3 item 7): chunk sizes start at
+    ``config.num_hypotheses`` and grow ``growth``x every
+    ``chunks_per_stage`` chunks up to ``max_chunk`` — a low-outlier fit
+    exits after one small chunk, while a high-outlier fit reaches batch
+    sizes where the fused Pallas kernel wins (stages >=
+    ``FUSED_ADAPTIVE_MIN_CHUNK`` run the kernel when ``config.fused``;
+    smaller stages always run XLA — the measured per-launch overhead
+    crossover, bench_results/FUSED_ADAPTIVE.json).  Each stage is its own
+    fixed-shape ``while_loop``; once the bound is met every later stage's
+    loop runs zero iterations.  Everything stays static-shape — the
+    data-dependent part is only the trip counts, which XLA supports natively
+    on TPU (SURVEY.md §7 hard part (d)).
+
+    ``confidence`` is traced (changing it does not recompile); ``max_chunks``,
+    ``config``, and the schedule parameters are static.  ``max_chunk``
+    defaults to 4096 (XLA) or 2^17 (fused configs, so the kernel-winning
+    regime is reachable); ``growth=1`` recovers the flat round-3 schedule.
     """
     nf = (
         jnp.sum(point_mask).astype(src.dtype)
         if point_mask is not None
         else jnp.asarray(src.shape[-2], src.dtype)
     )
-    chunk = config.num_hypotheses
+    chunk0 = config.num_hypotheses
+    if max_chunk is None:
+        max_chunk = FUSED_ADAPTIVE_MIN_CHUNK if config.fused else 4096
+    stages = _chunk_schedule(chunk0, max_chunks, growth, chunks_per_stage,
+                             max_chunk)
+    total_budget = sum(c * n for c, n in stages)
     conf = jnp.clip(jnp.asarray(confidence, src.dtype), 0.0, 1.0 - 1e-7)
 
     def needed(num_inl):
@@ -589,53 +648,64 @@ def ransac_homography_adaptive(
         p_good = jnp.clip(w**4, 1e-12, 1.0 - 1e-7)
         return jnp.log1p(-conf) / jnp.log1p(-p_good)
 
-    def cond(state):
-        i, _, _, _, _, ninl = state
-        return (i < max_chunks) & (
-            jnp.asarray(i * chunk, src.dtype) < needed(ninl)
-        )
-
     # PROSAC: one global growth schedule over the worst-case budget, sliced
-    # per chunk — chunk k continues toward uniform sampling instead of
-    # re-drawing the quality-concentrated head every time.
+    # per chunk at the running hypothesis offset — later chunks continue
+    # toward uniform sampling instead of re-drawing the quality-concentrated
+    # head every time.
     all_sizes = (
-        jnp.asarray(prosac_prefix_sizes(src.shape[-2], chunk * max_chunks))
+        jnp.asarray(prosac_prefix_sizes(src.shape[-2], total_budget))
         if config.sampling == "prosac"
         else None
     )
-    k_cand = max(1, min(config.lo_candidates, chunk))
-
-    def body(state):
-        i, k, h_k, sc_k, inl, ninl = state
-        k, sub = jax.random.split(k)
-        sizes_i = (
-            jax.lax.dynamic_slice(all_sizes, (i * chunk,), (chunk,))
-            if all_sizes is not None
-            else None
-        )
-        h_c, sc_c, inl_c = _eval_chunk(
-            sub, src, tar, config, point_mask, prosac_sizes=sizes_i
-        )
-        # Merge running top-K with this chunk's top-K.
-        sc_all = jnp.concatenate([sc_k, sc_c])
-        h_all = jnp.concatenate([h_k, h_c])
-        sc_new, idx = jax.lax.top_k(sc_all, k_cand)
-        h_new = h_all[idx]
-        better = sc_c[0] > sc_k[0]
-        inl = jnp.where(better, inl_c, inl)
-        ninl = jnp.where(better, jnp.sum(inl_c).astype(src.dtype), ninl)
-        return (i + 1, k, h_new, sc_new, inl, ninl)
+    k_cand = max(1, min(config.lo_candidates, chunk0))
 
     n = src.shape[-2]
-    init = (
-        jnp.asarray(0, jnp.int32),
+    carry = (
         key,
         jnp.full((k_cand, 3, 3), jnp.nan, src.dtype),
         jnp.full((k_cand,), -jnp.inf, src.dtype),
         jnp.zeros((n,), bool),
         jnp.asarray(0.0, src.dtype),
+        jnp.asarray(0, jnp.int32),  # hypotheses drawn so far
     )
-    _, _, h_top, sc_top, inl_best, _ = jax.lax.while_loop(cond, body, init)
+
+    for c_s, n_s in stages:
+        cfg_s = replace(
+            config,
+            num_hypotheses=c_s,
+            fused=config.fused and c_s >= FUSED_ADAPTIVE_MIN_CHUNK,
+        )
+
+        def cond(state, n_s=n_s):
+            j, (_, _, _, _, ninl, done) = state
+            return (j < n_s) & (done.astype(src.dtype) < needed(ninl))
+
+        def body(state, c_s=c_s, cfg_s=cfg_s):
+            j, (k, h_k, sc_k, inl, ninl, done) = state
+            k, sub = jax.random.split(k)
+            sizes_i = (
+                jax.lax.dynamic_slice(all_sizes, (done,), (c_s,))
+                if all_sizes is not None
+                else None
+            )
+            h_c, sc_c, inl_c = _eval_chunk(
+                sub, src, tar, cfg_s, point_mask, prosac_sizes=sizes_i
+            )
+            # Merge running top-K with this chunk's top-K.
+            sc_all = jnp.concatenate([sc_k, sc_c])
+            h_all = jnp.concatenate([h_k, h_c])
+            sc_new, idx = jax.lax.top_k(sc_all, k_cand)
+            h_new = h_all[idx]
+            better = sc_c[0] > sc_k[0]
+            inl = jnp.where(better, inl_c, inl)
+            ninl = jnp.where(better, jnp.sum(inl_c).astype(src.dtype), ninl)
+            return (j + 1, (k, h_new, sc_new, inl, ninl, done + c_s))
+
+        _, carry = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), carry)
+        )
+
+    _, h_top, sc_top, inl_best, _, _ = carry
     # All-or-nothing fallback per candidate: a partially-finite model must not
     # be blended elementwise with the identity.
     finite = jnp.all(jnp.isfinite(h_top), axis=(-2, -1))

@@ -134,6 +134,16 @@ def planar_slam(
         lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
     )(frames[:-1], frames[1:])
     pairs = closure_candidates(frames.shape[0], strides)
+    if not pairs:
+        # Too few frames for any closure stride (T <= min(strides)): reduce
+        # to the plain odometry chain (ADVICE r3 — the empty (0, 2) closure
+        # array would crash indexing downstream).
+        out = vo_trajectory(
+            key, p1s, p2s, k_mat, config, plane_depth=plane_depth,
+            smooth=smooth, plane_normal=plane_normal, point_mask=masks,
+        )
+        out["closure_inliers"] = jnp.zeros((0,), jnp.int32)
+        return out
     cp = jnp.asarray(pairs, jnp.int32)
     c1s, c2s, cmasks = jax.vmap(
         lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)

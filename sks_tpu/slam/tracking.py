@@ -138,11 +138,16 @@ def esm_track(
 
     def cost_of(h):
         y = xh @ h.T
-        z = jnp.maximum(y[:, 2], 1e-6)
+        zr = y[:, 2]
+        z = jnp.maximum(zr, 1e-6)
         uv = y[:, :2] / z[:, None]
         u, v = uv[:, 0], uv[:, 1]
+        # Same validity rule as the iteration body (incl. the z > 1e-6
+        # cheirality term) so accept/reject compares costs over identical
+        # pixel sets near the plane at infinity (ADVICE r3).
         valid = ((u >= 1.0) & (u <= w0f - 1.0)
-                 & (v >= 1.0) & (v <= h0f - 1.0)).astype(dt)
+                 & (v >= 1.0) & (v <= h0f - 1.0)
+                 & (zr > 1e-6)).astype(dt)
         iw = bilinear_sample(image, uv)
         a, b = gain_bias(iw, valid)
         r = (iw - (a * t_flat + b)) * valid

@@ -131,3 +131,70 @@ def test_planar_pair_end_to_end_ransac():
         apply_homography(h, corners) - apply_homography(h_true, corners),
         axis=-1)))
     assert err < 3.0, err
+
+
+def test_subpixel_refinement_accuracy():
+    """Sub-pixel Harris (VERDICT r3 item 1): blobs at known non-integer
+    centers are localized ~5-7x better than the integer grid allows."""
+    from sks_tpu.features.harris import detect_corners
+
+    rng = np.random.RandomState(0)
+    H, W = 128, 128
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.zeros((H, W), np.float32)
+    centers = []
+    for gy in range(3, 12, 3):
+        for gx in range(3, 12, 3):
+            cy = gy * 10 + rng.uniform(-0.5, 0.5)
+            cx = gx * 10 + rng.uniform(-0.5, 0.5)
+            centers.append((cx, cy))
+            img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 2.0**2))
+    img = jnp.asarray(img)
+
+    def mean_err(subpixel):
+        xy, _, va = detect_corners(img, 16, border=8, subpixel=subpixel)
+        xy = np.asarray(xy)[np.asarray(va)]
+        errs = []
+        for cx, cy in centers:
+            d = np.sqrt((xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2)
+            if d.min() < 2:
+                errs.append(d.min())
+        assert len(errs) == len(centers)
+        return float(np.mean(errs))
+
+    e_int, e_sub = mean_err(False), mean_err(True)
+    assert e_sub < 0.15, e_sub
+    assert e_sub < 0.5 * e_int, (e_sub, e_int)
+
+
+def test_subpixel_shift_equivariance():
+    """A 0.5-px image translation moves refined corners by ~0.5 px."""
+    from sks_tpu.features.harris import detect_corners
+
+    rng = np.random.RandomState(1)
+    base = rng.rand(80, 80).astype(np.float32)
+    # Band-limit so bilinear shifting is faithful.
+    import jax.scipy.signal  # noqa: F401
+    from sks_tpu.features.harris import _gauss_kernel, _conv2
+
+    img = np.asarray(_conv2(jnp.asarray(base), _gauss_kernel(2.0, 5,
+                                                             jnp.float32)))
+    dx = 0.5
+    xs = np.arange(80) - dx
+    x0 = np.floor(xs).astype(int) % 80
+    f = xs - np.floor(xs)
+    shifted = img[:, x0] * (1 - f) + img[:, (x0 + 1) % 80] * f
+    xy1, _, v1 = detect_corners(jnp.asarray(img), 12, border=10)
+    xy2, _, v2 = detect_corners(jnp.asarray(shifted.astype(np.float32)), 12,
+                                border=10)
+    a = np.asarray(xy1)[np.asarray(v1)]
+    b = np.asarray(xy2)[np.asarray(v2)]
+    shifts = []
+    for p in a:
+        d = np.linalg.norm(b - p, axis=1)
+        j = d.argmin()
+        if d[j] < 1.5:
+            shifts.append(b[j, 0] - p[0])
+    assert len(shifts) >= 5
+    # Median detected shift within 0.15 px of the true 0.5.
+    assert abs(float(np.median(shifts)) - dx) < 0.15, np.median(shifts)
