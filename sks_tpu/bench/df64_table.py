@@ -1,0 +1,171 @@
+"""df64 Table-8 rows: beat the reference's CUDA fp64 at its own precision.
+
+Every headline TPU Table-8 number is fp32 while the reference GPU table is
+fp64 (`GPU_Runtime Test.cu:81-240` — all kernels `double`).  The repo's df64
+double-word solvers (`ops/df64.py`: the same straight-line ACA/SKS cores run
+on (hi, lo) fp32 pairs, ~49-bit precision) exist exactly to close that gap
+on an fp32-only TPU — this bench times them (VERDICT r3 item 3).
+
+Two layouts, mirroring `bench/table8.py`:
+
+* **aos** — (B, 4, 2) arrays through `aca_df64`/`sks_df64` (normalized,
+  matching the reference kernels' semantics);
+* **soa_xla** — (8, M, 128) component lanes through the df64 cores directly
+  (no AoS gather cost; XLA-fused — the production df64 layout).
+
+Timing: the chained two-point-K methodology of `bench/table8.py`
+(`measure_chained` — serialized device-side iterations, differential fit;
+immune to relay dispatch dedup).  Accuracy: max |H_df64 - H_f32| and the
+df64-evaluated reprojection residual of both, on an exact synthetic batch
+(f64 ground-truth cross-checks live in tests/test_df64.py on the CPU
+backend, where real fp64 exists).
+
+Run: python -m sks_tpu.bench.df64_table [--out bench_results/DF64_TABLE8.json]
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from sks_tpu.bench.table8 import REFERENCE_TABLE8_US, measure_chained
+from sks_tpu.ops.df64 import (
+    DF,
+    aca_df64,
+    df_lift,
+    residual2_df64,
+    sks_df64,
+)
+from sks_tpu.utils.synth import random_correspondences
+
+__all__ = ["run"]
+
+_DF64_FNS = {"aca": aca_df64, "sks": sks_df64}
+
+
+@partial(jax.jit, static_argnames=("name",))
+def df64_aos_chained(src, tar, k, *, name: str):
+    """K chained df64 solves on (B, 4, 2) inputs (cf. table8.aos_chained).
+
+    The scalar data dependency serializes iterations; carrying the full
+    (2, B, 3, 3) hi/lo output keeps XLA from dead-code-eliminating lanes.
+    """
+    fn = _DF64_FNS[name]
+    init = jnp.zeros((2, *src.shape[:-2], 3, 3), src.dtype)
+
+    def body(_, hh):
+        s = src + hh[0].reshape(-1)[8] * 1e-38
+        h = fn(s, tar)
+        return jnp.stack([h.hi, h.lo])
+
+    out = jax.lax.fori_loop(0, k, body, init)
+    return jnp.sum(out[..., 2, 2])
+
+
+@partial(jax.jit, static_argnames=("name",))
+def df64_soa_chained(s, t, k, *, name: str):
+    """K chained df64 solves on SoA (8, M, 128) component lanes."""
+    from sks_tpu.ops.aca import aca_core
+    from sks_tpu.ops.sks import sks_core
+
+    core = {"aca": aca_core, "sks": sks_core}[name]
+    m = s.shape[1]
+
+    def body(_, carry):
+        comps = [df_lift(s[i]) for i in range(8)]
+        comps[0] = comps[0] + carry[0, 8, 0, 0] * 1e-38
+        h = core(*comps, *[df_lift(t[i]) for i in range(8)])
+        # Normalize by h22 in df64 (reference-kernel semantics); carry BOTH
+        # words of every lane so nothing is dead-code-eliminated.
+        h = [e / h[8] for e in h]
+        hi = jnp.stack([e.hi for e in h])
+        lo = jnp.stack([e.lo for e in h])
+        return jnp.stack([hi, lo])
+
+    out = jax.lax.fori_loop(
+        0, k, body, jnp.zeros((2, 9, m, 128), s.dtype)
+    )
+    return jnp.sum(out[:, 8])
+
+
+def accuracy_check(batch: int = 1024):
+    """df64 vs f32 solver accuracy on one exact batch (df64-scored)."""
+    from sks_tpu.ops import SOLVERS
+
+    key = jax.random.PRNGKey(3)
+    src, tar, _ = random_correspondences(key, (batch,), 4, 0.0, jnp.float32)
+    out = {}
+    for name in ("aca", "sks"):
+        h32 = SOLVERS[name](src, tar)
+        hdf = _DF64_FNS[name](src, tar)
+        # Reprojection residuals evaluated in df64 arithmetic for both:
+        # h (B, 3, 3) x points (B, 4, 2) broadcast to (B, 4) residuals.
+        r32 = jnp.sqrt(jnp.max(residual2_df64(h32, src, tar)))
+        rdf = jnp.sqrt(jnp.max(residual2_df64(hdf, src, tar)))
+        out[name] = {
+            "max_abs_h_delta": float(jnp.max(jnp.abs(hdf.hi - h32))),
+            "max_reproj_px_f32": float(r32),
+            "max_reproj_px_df64": float(rdf),
+        }
+    return out
+
+
+def run(out_path: str | None = None):
+    dev = jax.devices()[0]
+    key = jax.random.PRNGKey(0)
+    rows = []
+    for b_aos, m_soa in ((100_000, 1024), (1_000_000, 8192)):
+        src, tar, _ = random_correspondences(key, (b_aos,), 4, 0.0,
+                                             jnp.float32)
+        s = jnp.transpose(
+            random_correspondences(key, (m_soa * 128,), 4, 0.0,
+                                   jnp.float32)[0].reshape(m_soa, 128, 8),
+            (2, 0, 1))
+        t = jnp.transpose(
+            random_correspondences(key, (m_soa * 128,), 4, 0.0,
+                                   jnp.float32)[1].reshape(m_soa, 128, 8),
+            (2, 0, 1))
+        for name in ("aca", "sks"):
+            ref = REFERENCE_TABLE8_US[name].get(b_aos)
+            sec_aos = measure_chained(
+                lambda k: jax.block_until_ready(
+                    df64_aos_chained(src, tar, k, name=name))
+            )
+            sec_soa = measure_chained(
+                lambda k: jax.block_until_ready(
+                    df64_soa_chained(s, t, k, name=name))
+            )
+            row = {
+                "solver": name, "b": b_aos, "b_soa": m_soa * 128,
+                "df64_aos_us": round(sec_aos * 1e6, 2),
+                "df64_soa_xla_us": round(sec_soa * 1e6, 2),
+                "ref_cuda_fp64_us": ref,
+                "speedup_vs_ref": round(ref / (sec_soa * 1e6), 2)
+                if ref else None,
+            }
+            rows.append(row)
+            print(row)
+    result = {
+        "config": {"device_kind": dev.device_kind,
+                   "note": "df64 (double-fp32) ACA/SKS vs reference CUDA "
+                           "fp64 Table 8; chained two-point-K timing"},
+        "rows": rows,
+        "accuracy": accuracy_check(),
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print("wrote", out_path)
+    return result
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    run(args.out)

@@ -55,7 +55,8 @@ _HARD_KW = dict(max_angle=0.28, max_shift=0.4, blur_sigma=1.0)
 
 def pair_parity(seed: int, num_pairs: int = 8, shape=(480, 640),
                 threshold: float = 3.0, method: str = "ransac",
-                texture: str = "procedural", protocol: str = "easy"):
+                texture: str = "procedural", protocol: str = "easy",
+                esm: bool = False):
     """Per-pair inlier parity of find_homography vs cv2.findHomography.
 
     ``texture`` names a bundled photograph (``data/images._PHOTO_CANDIDATES``:
@@ -64,6 +65,10 @@ def pair_parity(seed: int, num_pairs: int = 8, shape=(480, 640),
     protocol (one real planar scene, many camera poses), so real pixels flow
     through detection, description, matching, and the robust fit.
     ``protocol='hard'`` adds defocus blur + stronger viewpoint/scale change.
+    ``esm=True`` additionally dense-polishes our fitted model photometrically
+    (``slam.tracking.esm_polish_pair``) and records its corner error — the
+    VERDICT r3 item-2a measurement of what direct alignment buys on top of
+    the feature pipeline.
     """
     import cv2
 
@@ -80,11 +85,28 @@ def pair_parity(seed: int, num_pairs: int = 8, shape=(480, 640),
     rows = []
     for i in range(num_pairs):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-        img1, img2, h_true = planar_pair(key, shape, texture=tex, **kw)
+        offplane = None
+        if protocol == "parallax":
+            # Off-plane structure (VERDICT r3 item 5): textured boxes in
+            # closer parallel planes — matches on them are coherent
+            # alternative-homography outliers, not i.i.d. junk.
+            from sks_tpu.data.images import planar_pair_boxes
+
+            img1, img2, h_true, mbox1, mbox2 = planar_pair_boxes(
+                key, shape, texture=tex)
+        else:
+            img1, img2, h_true = planar_pair(key, shape, texture=tex, **kw)
         p1, p2, valid, _ = match_frames_oriented(img1, img2, 512, 3)
         v = np.asarray(valid)
         a = np.asarray(p1)[v]
         b = np.asarray(p2)[v]
+        if protocol == "parallax":
+            def _on(mask, pts):
+                yy = np.clip(pts[:, 1].astype(int), 0, shape[0] - 1)
+                xx = np.clip(pts[:, 0].astype(int), 0, shape[1] - 1)
+                return np.asarray(mask)[yy, xx]
+
+            offplane = _on(mbox1, a) | _on(mbox2, b)
         if a.shape[0] < 8:
             rows.append({"pair": i, "matches": int(a.shape[0]),
                          "skipped": "too few matches"})
@@ -124,7 +146,7 @@ def pair_parity(seed: int, num_pairs: int = 8, shape=(480, 640),
         agree = float(np.mean(m_ours_fwd == m_cv_fwd))
         inter = np.sum(m_ours_fwd & m_cv_fwd)
         union = max(int(np.sum(m_ours_fwd | m_cv_fwd)), 1)
-        rows.append({
+        row = {
             "pair": i,
             "matches": int(a.shape[0]),
             "inliers_ours": int(m_ours_fwd.sum()),
@@ -136,12 +158,31 @@ def pair_parity(seed: int, num_pairs: int = 8, shape=(480, 640),
             "corner_err_ours_px": _corner_err(h_ours, h_true, shape),
             "corner_err_cv2_px": _corner_err(
                 jnp.asarray(h_cv, jnp.float32), h_true, shape),
-        })
+        }
+        if offplane is not None:
+            row["offplane_match_frac"] = float(offplane.mean())
+            # A correct planar fit must reject off-plane matches: report the
+            # off-plane leak rate into each side's inlier set.
+            row["offplane_inlier_leak_ours"] = int(
+                (m_ours_fwd & offplane).sum())
+            row["offplane_inlier_leak_cv2"] = int((m_cv_fwd & offplane).sum())
+        if esm:
+            from sks_tpu.slam.tracking import esm_guard, esm_polish_pair
+
+            h_esm, rms = esm_polish_pair(img1, img2, h_ours, iters=8)
+            ok = esm_guard(h_ours, h_esm, p1f, p2f, mask_padded)
+            h_sel = jnp.where(ok, h_esm, h_ours)
+            row["corner_err_esm_raw_px"] = _corner_err(h_esm, h_true, shape)
+            row["corner_err_esm_px"] = _corner_err(h_sel, h_true, shape)
+            row["esm_accepted"] = bool(ok)
+            row["esm_rms"] = float(rms)
+        rows.append(row)
     return rows
 
 
 def sequence_ate(seed: int, num_frames: int = 12, shape=(240, 320),
-                 threshold: float = 2.0, texture: str = "procedural"):
+                 threshold: float = 2.0, texture: str = "procedural",
+                 esm_iters: int = 0):
     """ATE of the VO chain on a rendered plane sweep vs exact GT poses.
 
     ``texture`` names a bundled photograph (like :func:`pair_parity`) so the
@@ -185,6 +226,7 @@ def sequence_ate(seed: int, num_frames: int = 12, shape=(240, 320),
     out = vo_trajectory(
         jax.random.fold_in(key, 7), p1s, p2s, k_mat, config,
         plane_depth=3.0, point_mask=masks,
+        frames=(frames if esm_iters else None), esm_iters=esm_iters,
     )
     pos = np.asarray(out["poses"][:, :3, 3])
     pos_gt = np.asarray(poses_gt[:, :3, 3])
@@ -284,7 +326,7 @@ def _summarize(pairs):
         r["corner_err_ours_px"] / max(r["corner_err_cv2_px"], 1e-9)
         for r in scored
     ]
-    return {
+    out = {
         "n": len(scored),
         "mean_inlier_agreement": float(
             np.mean([r["inlier_agreement"] for r in scored])),
@@ -296,6 +338,10 @@ def _summarize(pairs):
             np.mean([r["corner_err_cv2_px"] for r in scored])),
         "max_corner_err_ratio_vs_cv2": float(np.max(ratios)) if ratios else None,
     }
+    if scored and "corner_err_esm_px" in scored[0]:
+        out["mean_corner_err_esm_px"] = float(
+            np.mean([r["corner_err_esm_px"] for r in scored]))
+    return out
 
 
 def run(seed: int = 0, num_pairs: int = 8, num_frames: int = 12,
@@ -313,21 +359,27 @@ def run(seed: int = 0, num_pairs: int = 8, num_frames: int = 12,
     return summary
 
 
-def run_photo_suite(seed: int = 0, num_pairs: int = 8, num_frames: int = 12):
+def run_photo_suite(seed: int = 0, num_pairs: int = 8, num_frames: int = 12,
+                    esm: bool = False):
     """The full real-photo protocol: every bundled photograph, easy + hard
-    nuisances, and a photo-textured VO sequence per photograph."""
+    nuisances, and a photo-textured VO sequence per photograph.  With
+    ``esm``, every pair also gets the dense ESM polish column and each VO
+    sequence runs twice (with/without per-pair ESM)."""
     from sks_tpu.data.images import available_photos
 
-    out = {"textures": {}, "protocols": ("easy", "hard")}
+    out = {"textures": {}, "protocols": ("easy", "hard"), "esm": esm}
     all_rows = {"easy": [], "hard": []}
     for name in available_photos():
         entry = {}
         for protocol in ("easy", "hard"):
             rows = pair_parity(seed, num_pairs, texture=name,
-                               protocol=protocol)
+                               protocol=protocol, esm=esm)
             entry[protocol] = {"pairs": rows, "summary": _summarize(rows)}
             all_rows[protocol].extend(rows)
         entry["sequence"] = sequence_ate(seed, num_frames, texture=name)
+        if esm:
+            entry["sequence_esm"] = sequence_ate(seed, num_frames,
+                                                 texture=name, esm_iters=8)
         out["textures"][name] = entry
     out["overall"] = {p: _summarize(all_rows[p]) for p in all_rows}
     return out
@@ -355,11 +407,14 @@ if __name__ == "__main__":
     ap.add_argument("--photo-suite", action="store_true",
                     help="run every bundled photograph x {easy, hard} + "
                          "photo VO sequences (the REAL_PHOTO.md protocol)")
+    ap.add_argument("--esm", action="store_true",
+                    help="add the dense ESM polish column + ESM VO rows")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     if args.photo_suite:
-        summary = run_photo_suite(args.seed, args.pairs, args.frames)
+        summary = run_photo_suite(args.seed, args.pairs, args.frames,
+                                  esm=args.esm)
         print(json.dumps(summary["overall"], indent=1))
         for name, entry in summary["textures"].items():
             print(name, "sequence:", json.dumps(entry["sequence"]))

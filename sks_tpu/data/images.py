@@ -32,6 +32,7 @@ __all__ = [
     "photometric_jitter",
     "gaussian_blur",
     "planar_pair",
+    "planar_pair_boxes",
     "planar_sequence",
 ]
 
@@ -237,6 +238,122 @@ def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
     if blur_sigma > 0.0:
         img2 = gaussian_blur(img2, blur_sigma)
     return img1, img2, h_true
+
+
+def _box_params(key: Array, num_boxes: int, shape: tuple, plane_depth: float):
+    """Random off-plane box geometry: rects in the canonical view + depths.
+
+    Boxes lie in planes parallel to the main plane but CLOSER to the camera
+    (depth in [0.55, 0.8] x plane depth), so their between-view motion is a
+    different homography — genuine parallax, not noise.
+    """
+    h, w = shape
+    kx, ky, kw_, kh_, kd = jax.random.split(key, 5)
+    bw = jax.random.uniform(kw_, (num_boxes,), jnp.float32, 0.10, 0.22) * w
+    bh = jax.random.uniform(kh_, (num_boxes,), jnp.float32, 0.10, 0.22) * h
+    x0 = jax.random.uniform(kx, (num_boxes,), jnp.float32, 0.08, 0.70) * w
+    y0 = jax.random.uniform(ky, (num_boxes,), jnp.float32, 0.08, 0.70) * h
+    depth = jax.random.uniform(kd, (num_boxes,), jnp.float32, 0.55, 0.80) \
+        * plane_depth
+    return x0, y0, bw, bh, depth
+
+
+#: Static texel resolution of every box sprite (sampled through the warp, so
+#: the on-screen size is the traced rect, not this).
+_BOX_TEX = 64
+
+
+def _composite_boxes(img, box_texs, params, k_mat, r, t, n, d_unused,
+                     shape) -> tuple:
+    """Composite off-plane boxes over a rendered view; returns (img, mask).
+
+    Each box lives in a plane parallel to the main one at its own depth; its
+    canonical->view homography is the plane-induced one at that depth.  Boxes
+    are composited far-to-near (exact occlusion); ``mask`` marks pixels
+    covered by any box in THIS view (GT visibility for match classification).
+    """
+    x0, y0, bw, bh, depth = params
+    h, w = shape
+    ys = jnp.arange(h, dtype=img.dtype)
+    xs = jnp.arange(w, dtype=img.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    pix = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+    mask_any = jnp.zeros((h * w,), bool)
+
+    order = jnp.argsort(-depth)  # far first, near last (near wins overlap)
+    for j in range(x0.shape[0]):
+        b = order[j]
+        h_box = homography_from_pose(k_mat, k_mat, r, t, n, depth[b])
+        p_canon = apply_homography(jnp.linalg.inv(h_box), pix)
+        u = (p_canon[:, 0] - x0[b]) / bw[b]
+        v = (p_canon[:, 1] - y0[b]) / bh[b]
+        inside = (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+        uv = jnp.stack([u * (_BOX_TEX - 1), v * (_BOX_TEX - 1)], axis=-1)
+        tex = box_texs[b]
+        vals = bilinear_sample(tex, uv)
+        img = jnp.where(inside.reshape(h, w), vals.reshape(h, w), img)
+        mask_any = mask_any | inside
+    return img, mask_any.reshape(h, w)
+
+
+@partial(jax.jit, static_argnames=("shape", "blur_sigma", "num_boxes"))
+def planar_pair_boxes(key: Array, shape: tuple = (480, 640),
+                      focal: float = 600.0, max_angle: float = 0.15,
+                      max_shift: float = 0.25, noise: float = 0.01,
+                      texture: Array | None = None, blur_sigma: float = 0.0,
+                      num_boxes: int = 4):
+    """A planar pair with off-plane structure: the parallax protocol.
+
+    Like :func:`planar_pair`, plus ``num_boxes`` textured rectangles floating
+    in planes CLOSER to the camera than the main plane (VERDICT r3 item 5 —
+    the reference's wall fixture is a real 3-D scene whose off-plane matches
+    are *in* the data, ``orig_pts_wall.txt``).  Matches on a box surface are
+    consistent with that box's own plane-induced homography, NOT the main
+    plane's — *structured* outliers that form coherent alternative models,
+    the failure mode i.i.d.-outlier RANSAC confidence bounds ignore.
+
+    Returns (img1, img2, h_true, mask1, mask2): ``h_true`` is the MAIN
+    plane's homography (the model a planar fit should recover); ``mask1/2``
+    are exact per-view box-coverage masks (GT visibility) so callers can
+    classify matches as on-plane vs off-plane.
+    """
+    from sks_tpu.utils.synth import random_rotation
+
+    if texture is not None:
+        assert tuple(texture.shape[-2:]) == tuple(shape), (
+            f"texture shape {texture.shape[-2:]} != requested {shape}"
+        )
+    kt, kr, ks, kp1, kp2, kbx, kbt = jax.random.split(key, 7)
+    h, w = shape
+    k_mat = jnp.asarray(
+        [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    r = random_rotation(kr, (), max_angle, jnp.float32)
+    t = jax.random.uniform(ks, (3,), jnp.float32, -max_shift, max_shift)
+    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    d = jnp.asarray(3.0, jnp.float32)
+    h_true = homography_from_pose(k_mat, k_mat, r, t, n, d)
+    base = plane_texture(kt, shape) if texture is None else texture
+
+    params = _box_params(kbx, num_boxes, shape, 3.0)
+    # Box textures: same generator statistics as the plane (corner-rich).
+    box_texs = jax.vmap(
+        lambda k: plane_texture(k, (_BOX_TEX, _BOX_TEX), octaves=3)
+    )(jax.random.split(kbt, num_boxes))
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros((3,), jnp.float32)
+    v1, mask1 = _composite_boxes(base, box_texs, params, k_mat, eye, zero,
+                                 n, d, shape)
+    v2_plane = warp_image(base, h_true)
+    v2, mask2 = _composite_boxes(v2_plane, box_texs, params, k_mat, r, t,
+                                 n, d, shape)
+    img1 = photometric_jitter(kp1, v1, noise)
+    img2 = photometric_jitter(kp2, v2, noise)
+    if blur_sigma > 0.0:
+        img2 = gaussian_blur(img2, blur_sigma)
+    return img1, img2, h_true, mask1, mask2
 
 
 @partial(jax.jit, static_argnames=("shape", "num_frames", "loop"))

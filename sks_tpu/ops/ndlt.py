@@ -27,7 +27,7 @@ __all__ = ["ndlt", "ndlt_core", "ndlt_h"]
 def ndlt_core(
     x0, y0, x1, y1, x2, y2, x3, y3,
     X0, Y0, X1, Y1, X2, Y2, X3, Y3,
-    sweeps: int = 8,
+    sweeps: int = 6,
 ):
     """Straight-line minimal-set (N=4) NDLT on components.
 
@@ -43,6 +43,12 @@ def ndlt_core(
     fixed-sweep Jacobi (:func:`jacobi_smallest_col_core`); same math as
     :func:`ndlt_h` at N=4, unweighted.  Returns 9 entries row-major, up to
     scale.
+
+    ``sweeps=6`` is measured converged for minimal (N=4) pixel-scale sets:
+    p99.9 reprojection 1.8e-3 px and max identical to 8 sweeps over 20K
+    random problems (cyclic Jacobi is quadratically convergent); 5 sweeps
+    degrades p99.9 to 0.32 px.  The N-point weighted path (:func:`ndlt_h`)
+    keeps 8 — its spectra vary with the weight set.
     """
     # DF (double-word) components run the identical chain in df64 — the
     # dispatch below covers the three non-arithmetic ops (abs, identity

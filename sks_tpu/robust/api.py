@@ -63,10 +63,11 @@ def find_homography(
       confidence: if set (e.g. 0.995, the cv2 default semantic), run the
         early-exit loop (:func:`ransac_homography_adaptive`): geometrically
         growing chunks (256 -> 1024 -> 4096 -> ... capped at 2^17) until the
-        termination bound is met or ``max_iters`` total.  Small chunks run
-        the XLA path (the Pallas kernel's per-launch overhead loses at chunk
-        scale); stages above the measured ~1e5-hypothesis crossover run the
-        fused kernel on TPU (bench_results/FUSED_ADAPTIVE.json).
+        termination bound is met or ``max_iters`` total.  Runs XLA chunks by
+        default; ``method='fused'`` opts in the Pallas kernel for stages at
+        or above the measured crossover — worth ~1.3x at >=95% outlier
+        rates, but ~4x extra dispatch latency on easy fits
+        (bench_results/FUSED_ADAPTIVE.json).
       sampling: 'uniform', or 'prosac' progressive sampling (src/tar must be
         sorted by descending match quality).  Composes with the fused path.
       point_mask: optional (..., N) bool validity for padded fixed-shape
@@ -91,17 +92,17 @@ def find_homography(
     # fixed-batch fit: route eligible configurations through it automatically
     # (identical semantics to the general path with solver='aca' — the top-K
     # candidates are re-scored on the XLA path before selection).  The
-    # confidence early-exit loop grows its chunks geometrically
-    # (256 -> 1024 -> ... -> 2^17) and gates the kernel per stage: small
-    # chunks run XLA (the kernel's launch overhead loses ~250x at chunk=256,
-    # bench_results/FUSED_ADAPTIVE.json), stages at or above the measured
-    # B >= ~1e5 crossover run the kernel — so high-outlier fits that burn
-    # through the budget reach the fused-kernel regime automatically.
-    # method='fused' forces kernel eligibility on either path (still
-    # stage-gated under confidence).
+    # confidence early-exit loop stays XLA by default: its geometrically
+    # growing chunks DO reach the kernel-winning sizes at very high outlier
+    # rates (>=95%: fused-gated 112 ms vs XLA 145 ms, FUSED_ADAPTIVE.json),
+    # but a kernel-bearing executable costs ~4x more to dispatch on an easy
+    # fit that exits in one small chunk (98 vs 25 ms) — and easy fits
+    # dominate production.  method='fused' opts the adaptive loop in (still
+    # stage-gated: chunks below FUSED_ADAPTIVE_MIN_CHUNK always run XLA).
     fused = method == "fused" or (
         method in ("ransac", "msac", "magsac")
         and solver == "aca"
+        and confidence is None
         and jax.default_backend() == "tpu"
     )
     if fused and method == "fused":

@@ -554,11 +554,12 @@ def ransac_homography(
 
 
 #: Adaptive-loop chunk size from which the fused Pallas kernel beats the XLA
-#: chunk path (measured crossover ~1e5 hypotheses: TABLE8.md fused rows win
-#: at B >= 1e5; at chunk=256 the kernel's launch overhead loses ~250x,
-#: bench_results/FUSED_ADAPTIVE.json).  Stages below this run XLA even with
+#: chunk path (measured per-chunk at n_points=512: fused wins from B=65536,
+#: 3.7 vs 4.3 ms, and widens with B and with the point count; at chunk=256
+#: the kernel's launch overhead loses ~250x — bench_results/
+#: FUSED_ADAPTIVE.json).  Stages below this run XLA even with
 #: ``config.fused`` — the loop picks the winner per stage.
-FUSED_ADAPTIVE_MIN_CHUNK = 131072
+FUSED_ADAPTIVE_MIN_CHUNK = 65536
 
 
 def _chunk_schedule(chunk0: int, max_chunks: int, growth: int,
@@ -627,8 +628,10 @@ def ransac_homography_adaptive(
 
     ``confidence`` is traced (changing it does not recompile); ``max_chunks``,
     ``config``, and the schedule parameters are static.  ``max_chunk``
-    defaults to 4096 (XLA) or 2^17 (fused configs, so the kernel-winning
-    regime is reachable); ``growth=1`` recovers the flat round-3 schedule.
+    defaults to 2^17 on both paths (measured: XLA chunk cost is ~linear in
+    size above 4096, so large chunks only shed loop overhead, and the fused
+    kernel's winning regime becomes reachable); ``growth=1`` recovers the
+    flat round-3 schedule.
     """
     nf = (
         jnp.sum(point_mask).astype(src.dtype)
@@ -637,7 +640,11 @@ def ransac_homography_adaptive(
     )
     chunk0 = config.num_hypotheses
     if max_chunk is None:
-        max_chunk = FUSED_ADAPTIVE_MIN_CHUNK if config.fused else 4096
+        # Measured (FUSED_ADAPTIVE.json): XLA chunk cost is ~linear in size
+        # above 4096 (throughput-bound scoring), so a large cap only sheds
+        # loop-iteration overhead and never hurts; growing to 2^17 beat a
+        # 4096 cap by ~10% at high outlier rates on both paths.
+        max_chunk = FUSED_ADAPTIVE_MIN_CHUNK
     stages = _chunk_schedule(chunk0, max_chunks, growth, chunks_per_stage,
                              max_chunk)
     total_budget = sum(c * n for c, n in stages)

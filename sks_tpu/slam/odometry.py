@@ -21,20 +21,42 @@ from sks_tpu.robust.ransac import RansacConfig, ransac_homography
 from sks_tpu.slam.posegraph import PoseGraph, optimize_posegraph
 
 __all__ = ["vo_trajectory", "chain_poses", "closure_candidates",
-           "fit_pair", "chain_metric"]
+           "fit_pair", "chain_metric", "assemble_trajectory"]
 
 
-def fit_pair(key, p1, p2, pm, k_mat, config, plane_normal):
+def fit_pair(key, p1, p2, pm, k_mat, config, plane_normal,
+             f1=None, f2=None, esm_iters: int = 0):
     """RANSAC homography + pose recovery for one frame pair.
+
+    With ``esm_iters > 0`` and the frame pair ``(f1, f2)`` supplied, the
+    RANSAC model is densely polished by photometric alignment
+    (:func:`sks_tpu.slam.tracking.esm_polish_pair`) before pose recovery —
+    every overlap pixel votes, so corner localization error stops capping
+    accuracy.  A geometry guard re-scores both models on the matches and
+    keeps the better (a photometric win can be a geometric loss off-plane).
 
     Returns (R, t/d, n, num_inliers) — the per-pair unit the VO chain, the
     loop-closure edges, and the frame-sharded pipeline all share.
     """
     res = ransac_homography(key, p1, p2, config, point_mask=pm)
+    h, ninl = res.h, res.num_inliers
+    if esm_iters and f1 is not None:
+        from sks_tpu.robust.ransac import score_hypotheses
+        from sks_tpu.slam.tracking import esm_guard, esm_polish_pair
+
+        h_esm, _ = esm_polish_pair(f1, f2, h, iters=esm_iters)
+        ok = esm_guard(h, h_esm, p1, p2, res.inlier_mask)
+        cand = jnp.stack([h, h_esm])
+        sc, inl = score_hypotheses(
+            cand, p1, p2, config.threshold, pm, config.scoring,
+            config.sigma_max,
+        )
+        h = jnp.where(ok, h_esm, h)
+        ninl = jnp.sum(jnp.where(ok, inl[1], inl[0])).astype(jnp.int32)
     r, t, n, _ = recover_pose(
-        res.h, k_mat, k_mat, p1, p2, normal_prior=plane_normal
+        h, k_mat, k_mat, p1, p2, normal_prior=plane_normal
     )
-    return r, t, n, res.num_inliers
+    return r, t, n, ninl
 
 
 def chain_metric(r, t_over_d, n, plane_depth):
@@ -105,7 +127,8 @@ def chain_poses(rel: Array) -> Array:
     return jnp.concatenate([eye, chained], axis=0)
 
 
-@partial(jax.jit, static_argnames=("config", "smooth", "plane_depth"))
+@partial(jax.jit, static_argnames=("config", "smooth", "plane_depth",
+                                   "esm_iters"))
 def vo_trajectory(
     key: Array,
     pts1: Array,
@@ -120,6 +143,8 @@ def vo_trajectory(
     closure_pts1: Array | None = None,
     closure_pts2: Array | None = None,
     closure_mask: Array | None = None,
+    frames: Array | None = None,
+    esm_iters: int = 0,
 ):
     """Trajectory from per-pair correspondences.
 
@@ -139,6 +164,10 @@ def vo_trajectory(
         pair is fitted like a consecutive pair and added as a pose-graph
         loop-closure edge when ``smooth=True`` — genuine drift-correcting
         constraints, not just the odometry chain re-weighted.
+      frames: optional (T, H, W) grayscale frames; with ``esm_iters > 0``
+        every pair fit (consecutive AND closure) is densely ESM-polished
+        against the pixels before pose recovery (see :func:`fit_pair`).
+      esm_iters: static ESM iteration count (0 disables the dense polish).
 
     Returns:
       dict: poses (T, 4, 4) cam->world, rel (T-1, 4, 4), num_inliers (T-1,),
@@ -154,26 +183,63 @@ def vo_trajectory(
     if plane_normal is None:
         plane_normal = jnp.asarray([0.0, 0.0, 1.0], pts1.dtype)
 
-    def fit_one(k, p1, p2, pm):
-        return fit_pair(k, p1, p2, pm, k_mat, config, plane_normal)
+    use_esm = esm_iters > 0 and frames is not None
+
+    def fit_one(k, p1, p2, pm, f1=None, f2=None):
+        return fit_pair(k, p1, p2, pm, k_mat, config, plane_normal,
+                        f1, f2, esm_iters if use_esm else 0)
 
     pm = (jnp.ones(pts1.shape[:-1], bool) if point_mask is None
           else point_mask)
-    r, t_over_d, n, ninl = jax.vmap(fit_one)(keys, pts1, pts2, pm)
-    rel, poses, depths = chain_metric(r, t_over_d, n, plane_depth)
+    if use_esm:
+        r, t_over_d, n, ninl = jax.vmap(fit_one)(
+            keys, pts1, pts2, pm, frames[:-1], frames[1:]
+        )
+    else:
+        r, t_over_d, n, ninl = jax.vmap(fit_one)(keys, pts1, pts2, pm)
 
-    out = {"poses": poses, "rel": rel, "num_inliers": ninl}
-
-    rel_c = None
+    closure = None
     if closure_pairs is not None:
         cp = jnp.asarray(closure_pairs, jnp.int32)
         ckeys = fold_in_stream(key, cp.shape[0],
                                offset=CLOSURE_STREAM_OFFSET)
         cm = (jnp.ones(closure_pts1.shape[:-1], bool) if closure_mask is None
               else closure_mask)
-        r_c, tt_c, n_c, ninl_c = jax.vmap(fit_one)(
-            ckeys, closure_pts1, closure_pts2, cm
-        )
+        if use_esm:
+            r_c, tt_c, n_c, ninl_c = jax.vmap(fit_one)(
+                ckeys, closure_pts1, closure_pts2, cm,
+                frames[cp[:, 0]], frames[cp[:, 1]]
+            )
+        else:
+            r_c, tt_c, n_c, ninl_c = jax.vmap(fit_one)(
+                ckeys, closure_pts1, closure_pts2, cm
+            )
+        closure = (r_c, tt_c, ninl_c, cp)
+
+    return assemble_trajectory(r, t_over_d, n, ninl, plane_depth, smooth,
+                               closure=closure)
+
+
+def assemble_trajectory(r, t_over_d, n, ninl, plane_depth: float,
+                        smooth: bool, closure=None):
+    """Per-pair (R, t/d, n, inliers) -> chained (+ optionally relaxed) poses.
+
+    The shared back half of :func:`vo_trajectory` and the frame-sharded
+    capstone (``slam.pipeline.sharded_planar_slam``): metric chain, closure
+    scaling by the plane depth at each closure's source frame, and pose-graph
+    relaxation over odometry + inlier-gated closure edges.
+
+    Args:
+      closure: optional ``(r_c, tt_c, ninl_c, cp)`` — closure-pair rotations,
+        t/d vectors, inlier counts, and (E, 2) int32 frame pairs.
+    """
+    t_minus_1 = r.shape[0]
+    rel, poses, depths = chain_metric(r, t_over_d, n, plane_depth)
+    out = {"poses": poses, "rel": rel, "num_inliers": ninl}
+
+    rel_c = None
+    if closure is not None:
+        r_c, tt_c, ninl_c, cp = closure
         # Scale each closure by the plane depth at its source frame i.
         t_c = tt_c * depths[cp[:, 0]][:, None]
         rel_c = _rt_to_se3(r_c, t_c)  # cam_i -> cam_j

@@ -38,7 +38,8 @@ from sks_tpu.features.matching import match_frames_oriented
 from sks_tpu.robust.ransac import RansacConfig
 from sks_tpu.slam.odometry import chain_metric, fit_pair
 
-__all__ = ["frames_to_poses", "sharded_frames_to_poses", "planar_slam"]
+__all__ = ["frames_to_poses", "sharded_frames_to_poses", "planar_slam",
+           "sharded_planar_slam"]
 
 
 def _match_pad(f1: Array, f2: Array, num_corners: int, num_octaves: int,
@@ -52,7 +53,7 @@ def _match_pad(f1: Array, f2: Array, num_corners: int, num_octaves: int,
 
 
 def _fit_pairs(key, frames1, frames2, k_mat, config, num_corners,
-               num_octaves, plane_normal, pair_offset=0):
+               num_octaves, plane_normal, pair_offset=0, esm_iters=0):
     """Match + RANSAC + pose for a batch of pairs (vmapped, one trace)."""
     shape = frames1.shape[-2:]
     p1s, p2s, masks = jax.vmap(
@@ -61,6 +62,12 @@ def _fit_pairs(key, frames1, frames2, k_mat, config, num_corners,
     from sks_tpu.utils.rng import fold_in_stream
 
     keys = fold_in_stream(key, frames1.shape[0], offset=pair_offset)
+    if esm_iters:
+        return jax.vmap(
+            lambda k, p1, p2, pm, f1, f2: fit_pair(
+                k, p1, p2, pm, k_mat, config, plane_normal, f1, f2,
+                esm_iters)
+        )(keys, p1s, p2s, masks, frames1, frames2)
     return jax.vmap(
         lambda k, p1, p2, pm: fit_pair(k, p1, p2, pm, k_mat, config,
                                        plane_normal)
@@ -68,7 +75,7 @@ def _fit_pairs(key, frames1, frames2, k_mat, config, num_corners,
 
 
 @partial(jax.jit, static_argnames=("config", "num_corners", "num_octaves",
-                                   "plane_depth"))
+                                   "plane_depth", "esm_iters"))
 def frames_to_poses(
     key: Array,
     frames: Array,
@@ -78,8 +85,12 @@ def frames_to_poses(
     num_octaves: int = 2,
     plane_depth: float = 1.0,
     plane_normal: Array | None = None,
+    esm_iters: int = 0,
 ):
     """(T, H, W) grayscale frames -> (T, 4, 4) cam->world poses, one jit.
+
+    ``esm_iters > 0`` densely ESM-polishes every pair's RANSAC model against
+    the pixels before pose recovery (``slam.tracking.esm_polish_pair``).
 
     Returns dict: poses, rel (T-1, 4, 4), num_inliers (T-1,).
     """
@@ -87,14 +98,15 @@ def frames_to_poses(
         plane_normal = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
     r, t_over_d, n, ninl = _fit_pairs(
         key, frames[:-1], frames[1:], k_mat, config, num_corners,
-        num_octaves, plane_normal,
+        num_octaves, plane_normal, esm_iters=esm_iters,
     )
     rel, poses, _ = chain_metric(r, t_over_d, n, plane_depth)
     return {"poses": poses, "rel": rel, "num_inliers": ninl}
 
 
 @partial(jax.jit, static_argnames=("config", "num_corners", "num_octaves",
-                                   "plane_depth", "strides", "smooth"))
+                                   "plane_depth", "strides", "smooth",
+                                   "esm_iters"))
 def planar_slam(
     key: Array,
     frames: Array,
@@ -106,6 +118,7 @@ def planar_slam(
     plane_normal: Array | None = None,
     strides: tuple = (4, 8),
     smooth: bool = True,
+    esm_iters: int = 0,
 ):
     """The full planar-SLAM capstone in ONE jit: pixels -> loop-closed poses.
 
@@ -121,6 +134,8 @@ def planar_slam(
       smooth: pose-graph relaxation (odometry + inlier-gated closure edges).
         With ``smooth=False`` this reduces to :func:`frames_to_poses` plus
         closure diagnostics.
+      esm_iters: static; > 0 densely ESM-polishes every pair fit
+        (consecutive and closure) against the pixels before pose recovery.
 
     Returns:
       dict: poses (T, 4, 4), rel (T-1, 4, 4), num_inliers (T-1,),
@@ -141,6 +156,7 @@ def planar_slam(
         out = vo_trajectory(
             key, p1s, p2s, k_mat, config, plane_depth=plane_depth,
             smooth=smooth, plane_normal=plane_normal, point_mask=masks,
+            frames=frames, esm_iters=esm_iters,
         )
         out["closure_inliers"] = jnp.zeros((0,), jnp.int32)
         return out
@@ -152,7 +168,7 @@ def planar_slam(
         key, p1s, p2s, k_mat, config, plane_depth=plane_depth,
         smooth=smooth, plane_normal=plane_normal, point_mask=masks,
         closure_pairs=cp, closure_pts1=c1s, closure_pts2=c2s,
-        closure_mask=cmasks,
+        closure_mask=cmasks, frames=frames, esm_iters=esm_iters,
     )
 
 
@@ -211,3 +227,93 @@ def sharded_frames_to_poses(
     )
     poses, rel, ninl = fn(key, frames1, frames2, k_mat, plane_normal)
     return {"poses": poses, "rel": rel, "num_inliers": ninl}
+
+
+@partial(jax.jit, static_argnames=("mesh", "config", "num_corners",
+                                   "num_octaves", "plane_depth", "strides",
+                                   "smooth", "axis"))
+def sharded_planar_slam(
+    mesh: Mesh,
+    key: Array,
+    frames: Array,
+    k_mat: Array,
+    config: RansacConfig = RansacConfig(num_hypotheses=1024),
+    num_corners: int = 384,
+    num_octaves: int = 2,
+    plane_depth: float = 1.0,
+    plane_normal: Array | None = None,
+    strides: tuple = (4, 8),
+    smooth: bool = True,
+    axis: str = "pair",
+):
+    """The sharded capstone: :func:`planar_slam` with ALL pair fits —
+    consecutive AND loop-closure — sharded across ``mesh[axis]``.
+
+    Consecutive and closure pairs form ONE combined work list (each item is
+    an independent detect/describe/match/RANSAC/pose unit), padded to a
+    multiple of the mesh axis size by repeating pair 0 (results discarded),
+    and split contiguously across devices.  Per-pair RNG keys are
+    precomputed with the SAME stream layout :func:`planar_slam` uses
+    (consecutive stream + ``CLOSURE_STREAM_OFFSET`` closure stream), so the
+    sharded capstone matches the single-device one up to float-reassociation
+    tolerance.  One ``all_gather`` of the tiny (R, t/d, n, inliers) tuples
+    rides ICI; the metric chain + pose-graph relaxation
+    (``odometry.assemble_trajectory``) are replicated — BASELINE config 5's
+    "keyframe-sharded matching + distributed BA" shape at the capstone
+    level (VERDICT r3 item 4).
+    """
+    from sks_tpu.slam.odometry import (
+        assemble_trajectory,
+        closure_candidates,
+        fit_pair,
+    )
+    from sks_tpu.utils.rng import CLOSURE_STREAM_OFFSET, fold_in_stream
+
+    if plane_normal is None:
+        plane_normal = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    t = frames.shape[0]
+    consec = [(i, i + 1) for i in range(t - 1)]
+    clos = closure_candidates(t, strides)
+    pairs = consec + clos
+    n_dev = mesh.shape[axis]
+    pad = (-len(pairs)) % n_dev
+    pidx = jnp.asarray(pairs + [pairs[0]] * pad, jnp.int32)
+    f1 = frames[pidx[:, 0]]
+    f2 = frames[pidx[:, 1]]
+    keys = jnp.concatenate([
+        fold_in_stream(key, t - 1),
+        fold_in_stream(key, len(clos), offset=CLOSURE_STREAM_OFFSET),
+        fold_in_stream(key, pad),  # padding reuses consecutive keys: masked
+    ])
+
+    def local(keys, f1s, f2s, k_mat, plane_normal):
+        shape = f1s.shape[-2:]
+        p1s, p2s, masks = jax.vmap(
+            lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
+        )(f1s, f2s)
+        r, td, n, ninl = jax.vmap(
+            lambda k, p1, p2, pm: fit_pair(k, p1, p2, pm, k_mat, config,
+                                           plane_normal)
+        )(keys, p1s, p2s, masks)
+        r = jax.lax.all_gather(r, axis, tiled=True)
+        td = jax.lax.all_gather(td, axis, tiled=True)
+        n = jax.lax.all_gather(n, axis, tiled=True)
+        ninl = jax.lax.all_gather(ninl, axis, tiled=True)
+        return r, td, n, ninl
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    r, td, n, ninl = fn(keys, f1, f2, k_mat, plane_normal)
+    nc = t - 1
+    closure = None
+    if clos:
+        cp = jnp.asarray(clos, jnp.int32)
+        closure = (r[nc:nc + len(clos)], td[nc:nc + len(clos)],
+                   ninl[nc:nc + len(clos)], cp)
+    return assemble_trajectory(r[:nc], td[:nc], n[:nc], ninl[:nc],
+                               plane_depth, smooth, closure=closure)

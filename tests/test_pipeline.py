@@ -88,3 +88,29 @@ def test_planar_slam_smoke(key):
     assert out["poses"].shape == (6, 4, 4)
     assert bool(jnp.all(jnp.isfinite(out["poses"])))
     assert out["closure_inliers"].shape == (4,)
+
+
+def test_sharded_planar_slam_matches_single_device(key):
+    """The sharded capstone (consecutive + closure fits over one combined
+    pair list) must reproduce the single-device planar_slam — same RNG
+    streams, same chain, same pose graph (VERDICT r3 item 4)."""
+    from sks_tpu.data.images import planar_sequence
+    from sks_tpu.parallel import make_mesh
+    from sks_tpu.slam.pipeline import planar_slam, sharded_planar_slam
+
+    frames, _, k_mat = planar_sequence(key, 9, (120, 160), loop=True)
+    cfg = RansacConfig(num_hypotheses=512, refine_iters=2)
+    out1 = planar_slam(key, frames, k_mat, cfg, num_corners=192,
+                       strides=(2, 3))
+    mesh = make_mesh({"pair": 8})
+    out2 = sharded_planar_slam(mesh, key, frames, k_mat, cfg,
+                               num_corners=192, strides=(2, 3))
+    assert bool(jnp.all(jnp.isfinite(out1["poses"])))
+    np.testing.assert_array_equal(np.asarray(out1["num_inliers"]),
+                                  np.asarray(out2["num_inliers"]))
+    np.testing.assert_array_equal(np.asarray(out1["closure_inliers"]),
+                                  np.asarray(out2["closure_inliers"]))
+    # Same per-pair keys + replicated tail: poses match to float tolerance
+    # (measured bit-exact on the CPU mesh; tolerance guards reassociation).
+    np.testing.assert_allclose(np.asarray(out1["poses"]),
+                               np.asarray(out2["poses"]), atol=1e-5)

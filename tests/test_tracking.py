@@ -93,3 +93,28 @@ def test_esm_batched_vmap(key):
             jnp.float32,
         )
         assert _max_corner_err(hs[i], h_true, corners) < 2.0, i  # content-limited
+
+
+def test_esm_matmul_sampler_matches_gather():
+    """The one-hot MXU sampling path must agree with the gather path
+    (identical bilinear weights; float summation order differs)."""
+    import numpy as np
+
+    from sks_tpu.slam.tracking import esm_track
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(
+        np.cumsum(np.cumsum(rng.rand(96, 128), 0), 1) / 1000, jnp.float32
+    )
+    tpl = img[20:52, 30:78]
+    h0 = jnp.asarray(
+        [[1.0, 0.0, 31.5], [0.0, 1.0, 18.9], [0.0, 0.0, 1.0]], jnp.float32
+    )
+    hg, rg = esm_track(tpl, img, h0, iters=12, sampler="gather")
+    hm, rm = esm_track(tpl, img, h0, iters=12, sampler="matmul")
+    assert float(jnp.max(jnp.abs(hg - hm))) < 5e-3
+    assert abs(float(rg) - float(rm)) < 1e-4
+    # Both recover the true (30, 20) translation.
+    for h in (hg, hm):
+        assert abs(float(h[0, 2]) - 30.0) < 0.1
+        assert abs(float(h[1, 2]) - 20.0) < 0.1
