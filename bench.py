@@ -53,19 +53,39 @@ def main():
 
     from sks_tpu.utils.synth import random_quad_pairs
 
-    def measure(batch, k1, k2):
+    def make_soa(batch, seed=0):
         m = batch // 128
-        key = jax.random.PRNGKey(0)
+        key = jax.random.PRNGKey(seed)
         src, tar = jax.jit(
             lambda k: random_quad_pairs(k, batch, jnp.float32)
         )(key)
         s = jax.jit(lambda x: x.reshape(batch, 8).T.reshape(8, m, 128))(src)
         t = jax.jit(lambda x: x.reshape(batch, 8).T.reshape(8, m, 128))(tar)
         jax.block_until_ready((s, t))
+        return s, t
+
+    def measure(batch, k1, k2):
+        s, t = make_soa(batch)
         if jax.default_backend() == "tpu":
             sec = chained_step_seconds(aca_pallas_chained, s, t, k1=k1, k2=k2)
         else:
             sec = chained_step_seconds(aca_xla_chained, s, t, k1=20, k2=100)
+        return batch / sec
+
+    def measure_fully_streamed(batch, rotate=3, k1=20, k2=100):
+        """Rotating distinct input/output buffers: working set R*(64+36) MB
+        >> VMEM, so BOTH directions must traverse HBM every step — the
+        physically-consistent full-round-trip bandwidth (VERDICT r3 item 8;
+        the fixed-buffer B=2M row only streams inputs)."""
+        from sks_tpu.bench.chained import aca_pallas_chained_rotating
+
+        sets = [make_soa(batch, seed=i + 1) for i in range(rotate)]
+        s_all = jnp.stack([s for s, _ in sets])
+        t_all = jnp.stack([t for _, t in sets])
+        jax.block_until_ready((s_all, t_all))
+        sec = chained_step_seconds(
+            aca_pallas_chained_rotating, s_all, t_all, k1=k1, k2=k2
+        )
         return batch / sec
 
     batch = 1 << 20
@@ -77,6 +97,12 @@ def main():
         hps_stream = measure(1 << 21, 100, 500) if on_tpu else None
     except Exception:
         hps_stream = None
+    # Fully-streamed regime: 3 rotating input sets + 3 output slots at B=1M
+    # = 300 MB working set >> 128 MB VMEM; reads AND writes hit HBM.
+    try:
+        hps_fs = measure_fully_streamed(1 << 20) if on_tpu else None
+    except Exception:
+        hps_fs = None
     device_kind = jax.devices()[0].device_kind
     spec = HBM_SPEC_GBPS.get(device_kind)
     full_rt_bytes = bytes_per_hypothesis(4)  # 100 B: 16 in + 9 out floats
@@ -105,6 +131,15 @@ def main():
             )
             out["roofline_fraction_streaming_lower_bound"] = (
                 hps_stream * 16 * 4 / 1e9 / spec
+            )
+        if hps_fs:
+            out["hps_fully_streamed_rotating"] = hps_fs
+            # Every step reads 64 B and writes 36 B per hypothesis via HBM.
+            out["effective_gbps_fully_streamed_full_rt"] = (
+                hps_fs * full_rt_bytes / 1e9
+            )
+            out["roofline_fraction_fully_streamed"] = (
+                hps_fs * full_rt_bytes / 1e9 / spec
             )
     print(json.dumps(out))
 

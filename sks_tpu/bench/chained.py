@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from sks_tpu.kernels.aca_pallas import LANES, aca_solve_soa
 from sks_tpu.ops.aca import aca_core
 
-__all__ = ["chained_step_seconds", "aca_pallas_chained", "aca_xla_chained"]
+__all__ = ["chained_step_seconds", "aca_pallas_chained", "aca_xla_chained",
+           "aca_pallas_chained_rotating"]
 
 
 @partial(jax.jit, static_argnames=("k", "tile"))
@@ -37,6 +38,39 @@ def aca_pallas_chained(s, t, k: int, tile: int = 128):
         0, k, body, jnp.zeros((9, m, LANES), s.dtype)
     )
     return jnp.sum(out[8])
+
+
+@partial(jax.jit, static_argnames=("k", "tile"))
+def aca_pallas_chained_rotating(s_all, t_all, k: int, tile: int = 128):
+    """K chained solves over R ROTATING distinct input/output buffer sets.
+
+    The fully-streamed variant (VERDICT r3 item 8): step i reads input set
+    ``i % R`` and writes output slot ``i % R`` of an (R, 9, m, 128) carry.
+    With R sized so inputs + outputs far exceed VMEM, every step's 64 MB of
+    reads AND 36 MB of writes must traverse HBM — unlike the fixed-buffer
+    chain, where XLA can pin the output block in VMEM and the implied
+    "full round trip" bandwidth exceeds the physical spec (the round-3
+    artifact's 1020 GB/s > 819 GB/s spec impossibility).
+
+    Args:
+      s_all, t_all: (R, 8, m, 128) distinct SoA input sets.
+
+    Returns a checksum scalar (forces completion on readback).
+    """
+    r, _, m, lanes = s_all.shape
+
+    def body(i, carry):
+        idx = i % r
+        s = jax.lax.dynamic_index_in_dim(s_all, idx, keepdims=False)
+        t_ = jax.lax.dynamic_index_in_dim(t_all, idx, keepdims=False)
+        dep = jax.lax.dynamic_index_in_dim(carry, idx, keepdims=False)[8, 0, 0]
+        h = aca_solve_soa(s, t_, chain=dep, tile=tile)
+        return jax.lax.dynamic_update_index_in_dim(carry, h, idx, axis=0)
+
+    out = jax.lax.fori_loop(
+        0, k, body, jnp.zeros((r, 9, m, lanes), s_all.dtype)
+    )
+    return jnp.sum(out[:, 8, 0, 0])
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -6,12 +6,12 @@ double-word solvers (`ops/df64.py`: the same straight-line ACA/SKS cores run
 on (hi, lo) fp32 pairs, ~49-bit precision) exist exactly to close that gap
 on an fp32-only TPU — this bench times them (VERDICT r3 item 3).
 
-Two layouts, mirroring `bench/table8.py`:
-
-* **aos** — (B, 4, 2) arrays through `aca_df64`/`sks_df64` (normalized,
-  matching the reference kernels' semantics);
-* **soa_xla** — (8, M, 128) component lanes through the df64 cores directly
-  (no AoS gather cost; XLA-fused — the production df64 layout).
+Layout: **soa_xla** — (8, M, 128) component lanes through the df64 cores
+directly (no AoS gather cost; XLA-fused — the production df64 layout;
+normalized by h22 in df64, matching the reference kernels' semantics).
+An AoS variant exists (`df64_aos_chained`) but is excluded from the default
+sweep: each df64 graph is ~25x the f32 op count and compiling the extra
+layout doubled wall time for a non-production data point.
 
 Timing: the chained two-point-K methodology of `bench/table8.py`
 (`measure_chained` — serialized device-side iterations, differential fit;
@@ -63,6 +63,22 @@ def df64_aos_chained(src, tar, k, *, name: str):
 
     out = jax.lax.fori_loop(0, k, body, init)
     return jnp.sum(out[..., 2, 2])
+
+
+@partial(jax.jit, static_argnames=("name", "tile"))
+def df64_pallas_chained(s, t, k, *, name: str, tile: int = 16):
+    """K chained Pallas df64 solves (kernels/df64_pallas) — VMEM-resident
+    chain; both hi and lo words carried (no DCE)."""
+    from sks_tpu.kernels.df64_pallas import df64_solve_soa
+
+    m = s.shape[1]
+
+    def body(_, carry):
+        return df64_solve_soa(s, t, chain=carry[8, 0, 0], kind=name,
+                              tile=tile)
+
+    out = jax.lax.fori_loop(0, k, body, jnp.zeros((18, m, 128), s.dtype))
+    return jnp.sum(out[8]) + jnp.sum(out[17])
 
 
 @partial(jax.jit, static_argnames=("name",))
@@ -117,37 +133,32 @@ def run(out_path: str | None = None):
     dev = jax.devices()[0]
     key = jax.random.PRNGKey(0)
     rows = []
-    for b_aos, m_soa in ((100_000, 1024), (1_000_000, 8192)):
-        src, tar, _ = random_correspondences(key, (b_aos,), 4, 0.0,
-                                             jnp.float32)
-        s = jnp.transpose(
-            random_correspondences(key, (m_soa * 128,), 4, 0.0,
-                                   jnp.float32)[0].reshape(m_soa, 128, 8),
-            (2, 0, 1))
-        t = jnp.transpose(
-            random_correspondences(key, (m_soa * 128,), 4, 0.0,
-                                   jnp.float32)[1].reshape(m_soa, 128, 8),
-            (2, 0, 1))
+    for b_ref, m_soa in ((100_000, 1024), (1_000_000, 8192)):
+        sq, tq, _ = random_correspondences(key, (m_soa * 128,), 4, 0.0,
+                                           jnp.float32)
+        s = jnp.transpose(sq.reshape(m_soa, 128, 8), (2, 0, 1))
+        t = jnp.transpose(tq.reshape(m_soa, 128, 8), (2, 0, 1))
+        jax.block_until_ready((s, t))
         for name in ("aca", "sks"):
-            ref = REFERENCE_TABLE8_US[name].get(b_aos)
-            sec_aos = measure_chained(
-                lambda k: jax.block_until_ready(
-                    df64_aos_chained(src, tar, k, name=name))
-            )
+            ref = REFERENCE_TABLE8_US[name].get(b_ref)
+            # float(): scalar readback — block_until_ready acknowledges
+            # before completion on the relayed device.
             sec_soa = measure_chained(
-                lambda k: jax.block_until_ready(
-                    df64_soa_chained(s, t, k, name=name))
+                lambda k: float(df64_soa_chained(s, t, k, name=name))
+            )
+            sec_pl = measure_chained(
+                lambda k: float(df64_pallas_chained(s, t, k, name=name))
             )
             row = {
-                "solver": name, "b": b_aos, "b_soa": m_soa * 128,
-                "df64_aos_us": round(sec_aos * 1e6, 2),
+                "solver": name, "b": m_soa * 128, "ref_b": b_ref,
                 "df64_soa_xla_us": round(sec_soa * 1e6, 2),
+                "df64_pallas_us": round(sec_pl * 1e6, 2),
                 "ref_cuda_fp64_us": ref,
-                "speedup_vs_ref": round(ref / (sec_soa * 1e6), 2)
+                "speedup_vs_ref": round(ref / (sec_pl * 1e6), 2)
                 if ref else None,
             }
             rows.append(row)
-            print(row)
+            print(row, flush=True)
     result = {
         "config": {"device_kind": dev.device_kind,
                    "note": "df64 (double-fp32) ACA/SKS vs reference CUDA "

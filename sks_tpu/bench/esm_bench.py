@@ -10,7 +10,9 @@ what that buys on the real chip.
 Config mirrors the round-3 artifact: a batch of 64 templates (64x64) tracked
 in their own 128x128 frames for 10 iterations each, vmapped into one jit.
 Distinct initial homographies per repeat (the relay dedupes identical
-dispatches).
+dispatches ACROSS processes), and blocking is via SCALAR READBACK
+(``float(...)``) — ``block_until_ready`` acknowledges before execution
+completes on the relayed device (measured ~3500x-too-fast "blocked" times).
 
 Run: python -m sks_tpu.bench.esm_bench [--out bench_results/ESM_TRACK.json]
 """
@@ -59,16 +61,17 @@ def run(batch: int = 64, tpl: int = 64, img: int = 128, iters: int = 10,
     }
     keys = jax.random.split(jax.random.PRNGKey(0), reps + 1)
     for sampler in ("gather", "matmul"):
-        fit = jax.jit(jax.vmap(
+        vf = jax.vmap(
             lambda t, i, h: esm_track(t, i, h, iters=iters,
                                       sampler=sampler)[0]
-        ))
+        )
+        fit = jax.jit(lambda t, i, h: jnp.sum(vf(t, i, h)))
         batches = [_make_batch(k, batch, tpl, img) for k in keys]
-        jax.block_until_ready(fit(*batches[0]))  # compile
+        float(fit(*batches[0]))  # compile + run
         samples = []
         for b in batches[1:]:
             t0 = time.perf_counter()
-            jax.block_until_ready(fit(*b))
+            float(fit(*b))
             samples.append(time.perf_counter() - t0)
         samples.sort()
         sec = samples[len(samples) // 2]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from sks_tpu.robust.ransac import RansacConfig
 from sks_tpu.slam.pipeline import frames_to_poses
 
-__all__ = ["measure_pipeline_fps"]
+__all__ = ["measure_pipeline_fps", "measure_capstone_fps"]
 
 
 def measure_pipeline_fps(num_frames: int = 16, shape=(240, 320),
@@ -89,6 +89,74 @@ def measure_pipeline_fps(num_frames: int = 16, shape=(240, 320),
     }
 
 
+def measure_capstone_fps(num_frames: int = 16, shape=(240, 320),
+                         num_corners: int = 384, hypotheses: int = 1024,
+                         strides=(4, 8), k1: int = 2, k2: int = 8) -> dict:
+    """Pairs/s of the FULL planar_slam capstone (closures + pose graph).
+
+    Unlike :func:`measure_pipeline_fps` (odometry chain only), this times
+    the one-call system a production caller invokes: consecutive AND
+    closure-candidate matching/fitting, metric chaining, and pose-graph
+    relaxation, all in one jit (VERDICT r3 item 4).
+    """
+    from sks_tpu.data.images import planar_sequence
+    from sks_tpu.slam.odometry import closure_candidates
+    from sks_tpu.slam.pipeline import planar_slam
+
+    key = jax.random.PRNGKey(0)
+    with jax.default_device(jax.devices("cpu")[0]):
+        frames, _, k_mat = planar_sequence(key, num_frames, shape, loop=True)
+    frames = jax.device_put(frames, jax.devices()[0])
+    k_mat = jax.device_put(k_mat, jax.devices()[0])
+    jax.block_until_ready(frames)
+
+    config = RansacConfig(
+        num_hypotheses=hypotheses, threshold=2.0, refine_iters=2,
+        fused=jax.default_backend() == "tpu",
+    )
+    n_closures = len(closure_candidates(num_frames, strides))
+    total_pairs = (num_frames - 1) + n_closures
+
+    @jax.jit
+    def chained(key, frames, k):
+        def body(_, carry):
+            k_step = jax.random.fold_in(key, (carry * 0.0).astype(jnp.int32))
+            out = planar_slam(k_step, frames, k_mat, config,
+                              num_corners=num_corners, strides=strides)
+            return jnp.sum(out["poses"][:, :3, 3]) + carry * 1e-30
+
+        return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, jnp.float32))
+
+    def run(k):
+        float(chained(key, frames, k))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chained(key, frames, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = run(k1)
+    t2 = run(k2)
+    sec_per_invoke = max((t2 - t1) / (k2 - k1), 1e-9)
+    return {
+        "metric": "capstone_pairs_per_sec_per_chip",
+        "frames": num_frames,
+        "closure_edges": n_closures,
+        "total_pairs_per_invoke": total_pairs,
+        "shape": list(shape),
+        "num_corners": num_corners,
+        "hypotheses_per_pair": hypotheses,
+        "strides": list(strides),
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "sec_per_capstone_invoke": sec_per_invoke,
+        "pairs_per_sec": total_pairs / sec_per_invoke,
+        "frames_per_chunked_invoke_per_sec": num_frames / sec_per_invoke,
+        "fused_ransac": config.fused,
+    }
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -97,11 +165,13 @@ if __name__ == "__main__":
     ap.add_argument("--shape", type=int, nargs=2, default=(240, 320))
     ap.add_argument("--corners", type=int, default=384)
     ap.add_argument("--hypotheses", type=int, default=1024)
+    ap.add_argument("--capstone", action="store_true",
+                    help="time the full planar_slam (closures + pose graph)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    res = measure_pipeline_fps(args.frames, tuple(args.shape), args.corners,
-                               args.hypotheses)
+    fn = measure_capstone_fps if args.capstone else measure_pipeline_fps
+    res = fn(args.frames, tuple(args.shape), args.corners, args.hypotheses)
     print(json.dumps(res, indent=1))
     if args.out:
         with open(args.out, "w") as f:

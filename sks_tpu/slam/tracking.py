@@ -17,7 +17,7 @@ over many templates (multi-patch tracking is a batched call).
 **Sampling path (round 4, VERDICT r3 item 2b).**  The inner loop needs three
 bilinear samples per template pixel per iteration (warped image + its two
 gradients).  An irregular gather is the one access pattern the MXU/VPU
-cannot vectorize, and the round-3 gather path measured ~150 64x64 tracks/s.
+cannot vectorize — the gather path measures 112 64x64 tracks/s on a v5e.
 ``sampler='matmul'`` (default on TPU) reformulates the gather as dense
 linear algebra: the y-interpolation becomes a one-hot *row-weight* matrix
 ``Wy (N, H)`` with ``(1-fy, fy)`` at rows ``(y0, y0+1)``, applied as ONE MXU
@@ -26,7 +26,9 @@ elementwise masked reduction with the analogous ``Wx (N, W)`` — zero
 irregular memory access, bit-identical weights to ``bilinear_sample``
 (same clamping), and the whole iteration lives on the MXU/VPU.  Cost is
 ``N*H*3W`` MACs/iteration — compute the MXU is built for — instead of
-``12N`` scattered loads the VPU serializes.
+``12N`` scattered loads the VPU serializes.  Measured: **1,339 tracks/s,
+12.0x the gather path** (``bench_results/ESM_TRACK.json``), so the tracker
+now keeps pace with the feature pipeline's ~2,100 pairs/s.
 
 Math (forward compositional, ESM gradient):
   warp  w(x; H) = pi(H x),   update  H <- H . exp(sum_k d_k G_k)

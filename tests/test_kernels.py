@@ -180,3 +180,22 @@ def test_baseline_pallas_oracle(key, name):
         hk = from_soa_h(SOA_SOLVERS[name](to_soa(src), to_soa(tar), tile=1))
     r = float(jnp.max(jnp.abs(apply_homography(hk, src) - tar)))
     assert r < 5e-3, r
+
+
+def test_df64_pallas_matches_xla_df64(soa_inputs):
+    """The VMEM-resident df64 kernel must reproduce the XLA df64 path
+    (identical cores on DF pairs; bit-exact hi and hi+lo measured on TPU,
+    tolerance here guards interpret-mode float quirks)."""
+    from sks_tpu.kernels.df64_pallas import df64_solve_soa
+    from sks_tpu.ops.df64 import aca_df64
+
+    src, tar, s_soa, t_soa = soa_inputs
+    with pltpu.force_tpu_interpret_mode():
+        out = df64_solve_soa(s_soa, t_soa, kind="aca", tile=1)
+    ref = aca_df64(src, tar)
+    m = B // 128
+    ref_hi = jnp.transpose(ref.hi.reshape(m, 128, 9), (2, 0, 1))
+    ref_lo = jnp.transpose(ref.lo.reshape(m, 128, 9), (2, 0, 1))
+    assert np.allclose(np.asarray(out[:9]), np.asarray(ref_hi), atol=1e-6)
+    assert np.allclose(np.asarray(out[:9] + out[9:]),
+                       np.asarray(ref_hi + ref_lo), atol=1e-6)
