@@ -345,8 +345,10 @@ def _summarize(pairs):
 
 
 def run(seed: int = 0, num_pairs: int = 8, num_frames: int = 12,
-        texture: str = "procedural", protocol: str = "easy"):
-    pairs = pair_parity(seed, num_pairs, texture=texture, protocol=protocol)
+        texture: str = "procedural", protocol: str = "easy",
+        esm: bool = False):
+    pairs = pair_parity(seed, num_pairs, texture=texture, protocol=protocol,
+                        esm=esm)
     ate = sequence_ate(seed, num_frames, texture=texture)
     ate["texture"] = texture
     summary = {
@@ -403,7 +405,8 @@ if __name__ == "__main__":
                     default="procedural",
                     help="a bundled photograph name renders pairs AND the VO "
                          "sequence from real pixels ('photo' = 'hopper')")
-    ap.add_argument("--protocol", choices=("easy", "hard"), default="easy")
+    ap.add_argument("--protocol", choices=("easy", "hard", "parallax"),
+                    default="easy")
     ap.add_argument("--photo-suite", action="store_true",
                     help="run every bundled photograph x {easy, hard} + "
                          "photo VO sequences (the REAL_PHOTO.md protocol)")
@@ -420,7 +423,8 @@ if __name__ == "__main__":
             print(name, "sequence:", json.dumps(entry["sequence"]))
     else:
         summary = run(args.seed, args.pairs, args.frames,
-                      texture=args.texture, protocol=args.protocol)
+                      texture=args.texture, protocol=args.protocol,
+                      esm=args.esm)
         print(json.dumps(summary["pair_summary"], indent=1))
         print(json.dumps(summary["sequence"], indent=1))
     if args.out:

@@ -195,6 +195,27 @@ def gaussian_blur(img: Array, sigma: float, radius: int | None = None) -> Array:
     return x
 
 
+def _random_scene(kr: Array, ks: Array, shape: tuple, focal: float,
+                  max_angle: float, max_shift: float):
+    """Shared scene draw for the pair renderers: intrinsics, a random
+    camera pose, the main plane (frontal, depth 3), and its induced
+    homography.  Single source so the plain and parallax protocols cannot
+    silently diverge in camera model."""
+    from sks_tpu.utils.synth import random_rotation
+
+    h, w = shape
+    k_mat = jnp.asarray(
+        [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    r = random_rotation(kr, (), max_angle, jnp.float32)
+    t = jax.random.uniform(ks, (3,), jnp.float32, -max_shift, max_shift)
+    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    d = jnp.asarray(3.0, jnp.float32)
+    h_true = homography_from_pose(k_mat, k_mat, r, t, n, d)
+    return k_mat, r, t, n, d, h_true
+
+
 @partial(jax.jit, static_argnames=("shape", "blur_sigma"))
 def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
                 max_angle: float = 0.15, max_shift: float = 0.25,
@@ -213,8 +234,6 @@ def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
     component of the shift changes apparent scale by up to
     1/(1 - max_shift/3)).
     """
-    from sks_tpu.utils.synth import random_rotation
-
     if texture is not None:
         # shape is static: a mismatched texture would silently build K for
         # the wrong frame (principal point off-center) — fail at trace time.
@@ -222,16 +241,8 @@ def planar_pair(key: Array, shape: tuple = (480, 640), focal: float = 600.0,
             f"texture shape {texture.shape[-2:]} != requested {shape}"
         )
     kt, kr, ks, kp1, kp2 = jax.random.split(key, 5)
-    h, w = shape
-    k_mat = jnp.asarray(
-        [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
-        jnp.float32,
-    )
-    r = random_rotation(kr, (), max_angle, jnp.float32)
-    t = jax.random.uniform(ks, (3,), jnp.float32, -max_shift, max_shift)
-    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-    d = jnp.asarray(3.0, jnp.float32)
-    h_true = homography_from_pose(k_mat, k_mat, r, t, n, d)
+    k_mat, r, t, n, d, h_true = _random_scene(kr, ks, shape, focal,
+                                              max_angle, max_shift)
     base = plane_texture(kt, shape) if texture is None else texture
     img1 = photometric_jitter(kp1, base, noise)
     img2 = photometric_jitter(kp2, warp_image(base, h_true), noise)
@@ -263,7 +274,7 @@ def _box_params(key: Array, num_boxes: int, shape: tuple, plane_depth: float):
 _BOX_TEX = 64
 
 
-def _composite_boxes(img, box_texs, params, k_mat, r, t, n, d_unused,
+def _composite_boxes(img, box_texs, params, k_mat, r, t, n,
                      shape) -> tuple:
     """Composite off-plane boxes over a rendered view; returns (img, mask).
 
@@ -317,23 +328,13 @@ def planar_pair_boxes(key: Array, shape: tuple = (480, 640),
     are exact per-view box-coverage masks (GT visibility) so callers can
     classify matches as on-plane vs off-plane.
     """
-    from sks_tpu.utils.synth import random_rotation
-
     if texture is not None:
         assert tuple(texture.shape[-2:]) == tuple(shape), (
             f"texture shape {texture.shape[-2:]} != requested {shape}"
         )
     kt, kr, ks, kp1, kp2, kbx, kbt = jax.random.split(key, 7)
-    h, w = shape
-    k_mat = jnp.asarray(
-        [[focal, 0.0, w / 2.0], [0.0, focal, h / 2.0], [0.0, 0.0, 1.0]],
-        jnp.float32,
-    )
-    r = random_rotation(kr, (), max_angle, jnp.float32)
-    t = jax.random.uniform(ks, (3,), jnp.float32, -max_shift, max_shift)
-    n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-    d = jnp.asarray(3.0, jnp.float32)
-    h_true = homography_from_pose(k_mat, k_mat, r, t, n, d)
+    k_mat, r, t, n, d, h_true = _random_scene(kr, ks, shape, focal,
+                                              max_angle, max_shift)
     base = plane_texture(kt, shape) if texture is None else texture
 
     params = _box_params(kbx, num_boxes, shape, 3.0)
@@ -345,10 +346,10 @@ def planar_pair_boxes(key: Array, shape: tuple = (480, 640),
     eye = jnp.eye(3, dtype=jnp.float32)
     zero = jnp.zeros((3,), jnp.float32)
     v1, mask1 = _composite_boxes(base, box_texs, params, k_mat, eye, zero,
-                                 n, d, shape)
+                                 n, shape)
     v2_plane = warp_image(base, h_true)
     v2, mask2 = _composite_boxes(v2_plane, box_texs, params, k_mat, r, t,
-                                 n, d, shape)
+                                 n, shape)
     img1 = photometric_jitter(kp1, v1, noise)
     img2 = photometric_jitter(kp2, v2, noise)
     if blur_sigma > 0.0:

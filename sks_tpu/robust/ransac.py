@@ -561,6 +561,12 @@ def ransac_homography(
 #: ``config.fused`` — the loop picks the winner per stage.
 FUSED_ADAPTIVE_MIN_CHUNK = 65536
 
+#: Default cap on the geometric chunk growth (a distinct quantity from the
+#: fused gate above): measured, growing to 2^17 beat a 4096 cap by ~10% at
+#: high outlier rates — XLA chunk cost is ~linear in size above 4096, so a
+#: large cap only sheds loop-iteration overhead.
+ADAPTIVE_MAX_CHUNK = 131072
+
 
 def _chunk_schedule(chunk0: int, max_chunks: int, growth: int,
                     chunks_per_stage: int, max_chunk: int):
@@ -640,11 +646,7 @@ def ransac_homography_adaptive(
     )
     chunk0 = config.num_hypotheses
     if max_chunk is None:
-        # Measured (FUSED_ADAPTIVE.json): XLA chunk cost is ~linear in size
-        # above 4096 (throughput-bound scoring), so a large cap only sheds
-        # loop-iteration overhead and never hurts; growing to 2^17 beat a
-        # 4096 cap by ~10% at high outlier rates on both paths.
-        max_chunk = FUSED_ADAPTIVE_MIN_CHUNK
+        max_chunk = ADAPTIVE_MAX_CHUNK
     stages = _chunk_schedule(chunk0, max_chunks, growth, chunks_per_stage,
                              max_chunk)
     total_budget = sum(c * n for c, n in stages)

@@ -47,9 +47,9 @@ def fit_pair(key, p1, p2, pm, k_mat, config, plane_normal,
         h_esm, _ = esm_polish_pair(f1, f2, h, iters=esm_iters)
         ok = esm_guard(h, h_esm, p1, p2, res.inlier_mask)
         cand = jnp.stack([h, h_esm])
-        sc, inl = score_hypotheses(
+        _, inl = score_hypotheses(
             cand, p1, p2, config.threshold, pm, config.scoring,
-            config.sigma_max,
+            config.sigma_max, config.df64_scoring,
         )
         h = jnp.where(ok, h_esm, h)
         ninl = jnp.sum(jnp.where(ok, inl[1], inl[0])).astype(jnp.int32)

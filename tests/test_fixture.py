@@ -115,3 +115,31 @@ def test_fp64_strictly_tighter_than_fp32(wall):
     e32 = _median_reproj(jit_of(aca)(s32, t32), s32, t32)
     e64 = _median_reproj(jit_of(aca)(s64, t64), s64, t64)
     assert e64 < e32 * 1e-4, (e32, e64)
+
+
+def test_planar_pair_boxes_parallax_and_masks(key):
+    """Off-plane boxes: masks mark real pixels, and matches on boxes carry
+    large residuals vs the MAIN plane's homography (structured outliers)."""
+    import numpy as np
+
+    from sks_tpu.data.images import planar_pair_boxes
+    from sks_tpu.geom.homography import apply_homography
+
+    img1, img2, h_true, m1, m2 = planar_pair_boxes(key, (240, 320),
+                                                   num_boxes=3)
+    assert img1.shape == (240, 320) and m1.shape == (240, 320)
+    cov1, cov2 = float(m1.mean()), float(m2.mean())
+    assert 0.01 < cov1 < 0.5 and 0.005 < cov2 < 0.5, (cov1, cov2)
+    # Sample box-mask pixels in view 1; transfer under the MAIN plane's H:
+    # they should NOT land on the same box content (parallax), so the
+    # box-center transfer disagrees with the box's apparent motion.  Cheap
+    # proxy: the box homography at a closer depth differs from h_true by
+    # several px at the box centers.
+    ys, xs = np.nonzero(np.asarray(m1))
+    pts = jnp.asarray(np.stack([xs[:50], ys[:50]], -1), jnp.float32)
+    moved = apply_homography(h_true, pts)
+    # Parallax exists iff some box pixel maps OFF the view-2 box mask.
+    yy = np.clip(np.asarray(moved[:, 1]).astype(int), 0, 239)
+    xx = np.clip(np.asarray(moved[:, 0]).astype(int), 0, 319)
+    off = ~np.asarray(m2)[yy, xx]
+    assert off.mean() > 0.2, off.mean()

@@ -55,7 +55,11 @@ def test_photo_pair_parity_vs_cv2_hard():
     cv2 = pytest.importorskip("cv2")
     from sks_tpu.bench.real_pipeline import pair_parity
 
-    rows = pair_parity(0, 3, shape=(240, 320), texture="photo",
+    # Full protocol resolution: at 240x320 the hard nuisances (blur +
+    # strong viewpoint) leave too few well-localized matches and BOTH
+    # fitters degrade (cv2 itself at 14 px on one pair) — the gate is
+    # about OUR fit vs cv2 on a working pair, not about tiny-image limits.
+    rows = pair_parity(0, 3, shape=(480, 640), texture="photo",
                        protocol="hard")
     scored = [r for r in rows if "skipped" not in r]
     assert len(scored) >= 2

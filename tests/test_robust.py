@@ -506,3 +506,26 @@ def test_find_homography_point_mask_and_batch(key):
     assert bool(jnp.all(h2[..., 2, 2] == 1.0))
     agree0 = jnp.mean((mask2[0] == true_inl).astype(jnp.float32))
     assert float(agree0) > 0.9, float(agree0)
+
+
+def test_chunk_schedule_shapes():
+    """Geometric chunk schedule: budget covered, growth capped, flat mode."""
+    from sks_tpu.robust.ransac import _chunk_schedule
+
+    # Flat (growth=1) recovers the round-3 schedule.
+    assert _chunk_schedule(256, 16, 1, 2, 4096) == [(256, 16)]
+    # Geometric: budget 256*64 = 16384 covered by growing stages.
+    stages = _chunk_schedule(256, 64, 4, 2, 131072)
+    assert stages[0] == (256, 2)
+    assert stages[1] == (1024, 2)
+    total = sum(c * n for c, n in stages)
+    assert total >= 256 * 64
+    sizes = [c for c, _ in stages]
+    assert sizes == sorted(sizes)  # non-decreasing
+    assert max(sizes) <= 131072
+    # Cap reached: the tail absorbs the remainder at cap size.
+    stages = _chunk_schedule(256, 4096, 4, 2, 4096)
+    assert stages[-1][0] == 4096
+    assert sum(c * n for c, n in stages) >= 256 * 4096
+    # max_chunk <= chunk0 degenerates to flat.
+    assert _chunk_schedule(512, 8, 4, 2, 256) == [(512, 8)]
