@@ -22,7 +22,21 @@ Reference parity map (see SURVEY.md for file:line inventory):
   ops.ho        <-  cv::runKernel_HO          (C++ Codes/modules/HO.cpp:33)
 """
 
-from sks_tpu.ops import (  # noqa: F401
+import jax as _jax
+
+# Geometry arithmetic MUST run matmuls in full f32: the TPU's default
+# bf16-input matmul (8 mantissa bits) puts ~0.4% relative error on every
+# 3x3 homography/pose product — ~2-3 px at 640-px coordinates — which was
+# measured collapsing a 205-inlier consensus to 53 through the polish
+# denormalization (t2i @ h @ t1) on real hardware, while identical code was
+# correct on CPU.  Pixel-precision geometry everywhere in this package
+# (pose chains, SL(3) warps, denormalizations) has the same hazard, so the
+# package sets the f32-accumulation default once here rather than trusting
+# every future call site to remember ``precision=``.  Models/descriptor
+# matmuls that can afford bf16 opt back in locally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from sks_tpu.ops import (  # noqa: F401,E402
     aca,
     aca_h,
     aca_rect,

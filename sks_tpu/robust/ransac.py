@@ -513,6 +513,13 @@ def _refine_and_pack(h_top, sc_top, inl_best, src, tar, config, point_mask):
             config.scoring, config.sigma_max, config.df64_scoring,
         )
         ok = jnp.all(jnp.isfinite(h_pol))
+        if config.scoring != "lmeds":
+            # Collapse guard: a geometric polish may trade a few thresholded
+            # inliers for accuracy (that is its job), but a LARGE consensus
+            # drop means the refit left the basin — keep the pre-polish
+            # model.  (Defense in depth: a real-hardware precision bug once
+            # collapsed 205 -> 53 through this stage, finite throughout.)
+            ok = ok & (sc_p[0] >= 0.5 * score0)
         h_best = jnp.where(ok, h_pol, h_best)
         inl_best = jnp.where(ok, inl_p[0], inl_best)
         score0 = jnp.where(ok, sc_p[0], score0)

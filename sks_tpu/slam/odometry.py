@@ -122,7 +122,9 @@ def chain_poses(rel: Array) -> Array:
     poses, first = identity.  Uses an associative scan (log-depth on device).
     """
     inv_rel = _inv_se3(rel)  # cam_{i+1} -> cam_i
-    chained = jax.lax.associative_scan(lambda a, b: a @ b, inv_rel)
+    from sks_tpu.geom.lie import mm_small
+
+    chained = jax.lax.associative_scan(mm_small, inv_rel)
     eye = jnp.eye(4, dtype=rel.dtype)[None]
     return jnp.concatenate([eye, chained], axis=0)
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from sks_tpu.geom.lie import se3_exp, se3_log
+from sks_tpu.geom.lie import mm_small, se3_exp, se3_log
 
 __all__ = ["PoseGraph", "posegraph_residuals", "optimize_posegraph"]
 
@@ -60,10 +60,10 @@ def posegraph_residuals(graph: PoseGraph, dx: Array | None = None) -> Array:
     """Weighted edge residuals (E, 6); dx (K, 6) is the GN increment."""
     poses = graph.poses
     if dx is not None:
-        poses = poses @ se3_exp(dx)
+        poses = mm_small(poses, se3_exp(dx))
     ti = poses[graph.edges[:, 0]]
     tj = poses[graph.edges[:, 1]]
-    err = _inv_se3(graph.meas) @ _inv_se3(ti) @ tj
+    err = mm_small(mm_small(_inv_se3(graph.meas), _inv_se3(ti)), tj)
     r = se3_log(err)
     return r * jnp.sqrt(jnp.maximum(graph.weights, 0.0))[..., None]
 
@@ -120,7 +120,7 @@ def optimize_posegraph(
 
         dx = _cg(jtjv, -g.reshape(-1), cg_iters).reshape(k, 6)
         return PoseGraph(
-            poses=graph.poses @ se3_exp(dx),
+            poses=mm_small(graph.poses, se3_exp(dx)),
             edges=graph.edges,
             meas=graph.meas,
             weights=graph.weights,

@@ -63,3 +63,15 @@ def test_checkpoint_roundtrip(tmp_path, key, synth):
     out = restore_state(tmp_path / "ckpt")
     assert np.allclose(np.asarray(out["h"]), np.eye(3))
     assert int(out["step"]) == 7
+
+
+def test_package_pins_f32_matmul_precision():
+    """Importing sks_tpu must pin full-f32 matmul accumulation: the TPU's
+    bf16-input matmul default puts ~0.4% error on 3x3 geometry products
+    (measured on hardware: a polish denormalization collapsed a 205-inlier
+    consensus to 53 while identical code was correct on CPU)."""
+    import jax
+
+    import sks_tpu  # noqa: F401
+
+    assert str(jax.config.jax_default_matmul_precision) == "highest"
