@@ -49,11 +49,17 @@ def measure_pipeline_fps(num_frames: int = 16, shape=(240, 320),
     def chained(key, frames, k):
         # k is traced: one compilation serves both K points of the fit.
         def body(_, carry):
-            # Serialize: fold the previous checksum into the key (scalar dep;
-            # carry * 0 == 0, so every step does identical work).
+            # Serialize AND defeat loop-invariant code motion: the previous
+            # checksum feeds both the key and a sub-roundoff frame nudge
+            # (carry * 1e-38 == 0 in f32, but XLA cannot prove it), so the
+            # FULL pipeline — detection, description, matching — re-executes
+            # every iteration.  Without the nudge XLA hoists everything
+            # key-independent out of the loop and the "steady state" times
+            # only RANSAC+chaining (measured 30x optimistic — the round-3
+            # 2,100 pairs/s artifact had exactly this flaw).
             k_step = jax.random.fold_in(key, (carry * 0.0).astype(jnp.int32))
-            out = frames_to_poses(k_step, frames, k_mat, config,
-                                  num_corners=num_corners)
+            out = frames_to_poses(k_step, frames + carry * 1e-38, k_mat,
+                                  config, num_corners=num_corners)
             return jnp.sum(out["poses"][:, :3, 3]) + carry * 1e-30
 
         return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, jnp.float32))
@@ -120,8 +126,9 @@ def measure_capstone_fps(num_frames: int = 16, shape=(240, 320),
     @jax.jit
     def chained(key, frames, k):
         def body(_, carry):
+            # Sub-roundoff frame nudge: see measure_pipeline_fps.
             k_step = jax.random.fold_in(key, (carry * 0.0).astype(jnp.int32))
-            out = planar_slam(k_step, frames, k_mat, config,
+            out = planar_slam(k_step, frames + carry * 1e-38, k_mat, config,
                               num_corners=num_corners, strides=strides)
             return jnp.sum(out["poses"][:, :3, 3]) + carry * 1e-30
 

@@ -22,7 +22,8 @@ from jax import Array
 
 from sks_tpu.geom.lie import mm_small, se3_exp, se3_log
 
-__all__ = ["PoseGraph", "posegraph_residuals", "optimize_posegraph"]
+__all__ = ["PoseGraph", "posegraph_residuals", "optimize_posegraph",
+           "optimize_posegraph_dense"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -119,6 +120,55 @@ def optimize_posegraph(
             return (vjp(jv)[0] + damping * v.reshape(k, 6)).reshape(-1)
 
         dx = _cg(jtjv, -g.reshape(-1), cg_iters).reshape(k, 6)
+        return PoseGraph(
+            poses=mm_small(graph.poses, se3_exp(dx)),
+            edges=graph.edges,
+            meas=graph.meas,
+            weights=graph.weights,
+        )
+
+    for _ in range(gn_iters):
+        graph = step(graph)
+    return graph
+
+
+@partial(jax.jit, static_argnames=("gn_iters", "fix_first"))
+def optimize_posegraph_dense(
+    graph: PoseGraph,
+    gn_iters: int = 10,
+    damping: float = 1e-6,
+    fix_first: bool = True,
+) -> PoseGraph:
+    """Dense Gauss-Newton for SMALL graphs: one vectorized Jacobian + a
+    direct 6K x 6K solve per iteration.
+
+    The matrix-free CG design (:func:`optimize_posegraph`) is built to shard
+    over edges on a mesh, but on ONE device its 6K-dim solve costs
+    ``gn_iters x cg_iters`` *sequential* Hessian-vector products — 150 tiny
+    dependent steps for the default (5, 30), which is dispatch-latency bound
+    on real hardware (measured ~80 ms of the planar-SLAM capstone's
+    per-invoke time at T = 16).  For K up to a few hundred nodes the dense
+    path replaces that with ``jax.jacfwd`` (ALL tangents in one batched
+    forward pass) and a Cholesky-sized direct solve — exact normal-equation
+    steps, no sequential chain.  Same math at CG convergence; preferred
+    single-device default for small T (``slam.odometry`` switches on K).
+    """
+    k = graph.poses.shape[0]
+
+    def step(graph):
+        zero = jnp.zeros((k, 6), graph.poses.dtype)
+
+        def res(dx):
+            r = posegraph_residuals(graph, dx).reshape(-1)
+            if fix_first:
+                r = jnp.concatenate([r, 1e3 * dx[0]])
+            return r
+
+        r0 = res(zero)
+        jm = jax.jacfwd(res)(zero).reshape(r0.shape[0], k * 6)
+        a = jm.T @ jm + damping * jnp.eye(k * 6, dtype=jm.dtype)
+        g = jm.T @ r0
+        dx = jnp.linalg.solve(a, -g).reshape(k, 6)
         return PoseGraph(
             poses=mm_small(graph.poses, se3_exp(dx)),
             edges=graph.edges,

@@ -27,8 +27,10 @@ irregular memory access, bit-identical weights to ``bilinear_sample``
 (same clamping), and the whole iteration lives on the MXU/VPU.  Cost is
 ``N*H*3W`` MACs/iteration — compute the MXU is built for — instead of
 ``12N`` scattered loads the VPU serializes.  Measured: **1,339 tracks/s,
-12.0x the gather path** (``bench_results/ESM_TRACK.json``), so the tracker
-now keeps pace with the feature pipeline's ~2,100 pairs/s.
+12.0x the gather path** (``bench_results/ESM_TRACK.json``) — the dense
+tracker is now an order of magnitude FASTER per pair than the feature
+pipeline (~85 pairs/s under hoist-proof timing; descriptor gathers bound
+it).
 
 Math (forward compositional, ESM gradient):
   warp  w(x; H) = pi(H x),   update  H <- H . exp(sum_k d_k G_k)

@@ -174,11 +174,10 @@ def test_subpixel_shift_equivariance():
     rng = np.random.RandomState(1)
     base = rng.rand(80, 80).astype(np.float32)
     # Band-limit so bilinear shifting is faithful.
-    import jax.scipy.signal  # noqa: F401
-    from sks_tpu.features.harris import _gauss_kernel, _conv2
+    from sks_tpu.features.harris import _gauss_taps, _sep_filter
 
-    img = np.asarray(_conv2(jnp.asarray(base), _gauss_kernel(2.0, 5,
-                                                             jnp.float32)))
+    g = _gauss_taps(2.0, 5)
+    img = np.asarray(_sep_filter(jnp.asarray(base), g, g))
     dx = 0.5
     xs = np.arange(80) - dx
     x0 = np.floor(xs).astype(int) % 80
