@@ -26,6 +26,7 @@ __all__ = [
     "patch_descriptors",
     "oriented_patch_descriptors",
     "keypoint_orientations",
+    "keypoint_orientations_gradient",
     "bilinear_sample",
 ]
 
@@ -122,7 +123,46 @@ def keypoint_orientations(
     return jnp.arctan2(m01, m10)
 
 
-@partial(jax.jit, static_argnames=("patch", "stride"))
+@partial(jax.jit, static_argnames=())
+def keypoint_orientations_gradient(
+    img: Array, xy: Array, scale: Array | None = None, sigma: float = 4.0,
+) -> Array:
+    """Dominant orientation from Gaussian-smoothed image gradients.
+
+    ``theta = atan2(Gy_s, Gx_s)`` with ``G_s`` the sigma-smoothed Sobel
+    gradients, sampled ONCE per keypoint — 8 bilinear gathers instead of
+    the intensity-centroid disc's ~900 (:func:`keypoint_orientations`
+    samples a 15x15 disc).  The smoothed first gradient moment is the
+    SIFT/SURF-family reference-orientation idea; it trades a little
+    robustness on blur/rotation extremes for a ~4x cut in the descriptor
+    stage's gather bound (the whole pipeline's bottleneck on TPU — see
+    bench_results/PIPELINE_FPS.json note).
+
+    Args:
+      img: (H, W) grayscale.  xy: (K, 2) centers.
+      scale: optional (K,) per-keypoint scale multiplying the smoothing
+        support (approximated by sampling the fixed-sigma maps — adequate
+        for the 2-3 octave pyramids used here).
+      sigma: gradient-smoothing scale in pixels.
+
+    Returns:
+      (K,) angles in radians.
+    """
+    from sks_tpu.features.harris import _gauss_taps, _sep_filter
+
+    sob_s = (0.125, 0.25, 0.125)
+    sob_d = (-1.0, 0.0, 1.0)
+    gx = _sep_filter(img, sob_s, sob_d)
+    gy = _sep_filter(img, sob_d, sob_s)
+    g = _gauss_taps(sigma, int(2 * sigma + 0.5))
+    gxs = _sep_filter(gx, g, g)
+    gys = _sep_filter(gy, g, g)
+    vx = bilinear_sample(gxs, xy)
+    vy = bilinear_sample(gys, xy)
+    return jnp.arctan2(vy, vx)
+
+
+@partial(jax.jit, static_argnames=("patch", "stride", "orientation"))
 def oriented_patch_descriptors(
     img: Array,
     xy: Array,
@@ -130,6 +170,7 @@ def oriented_patch_descriptors(
     scale: Array | None = None,
     patch: int = 8,
     stride: float = 2.0,
+    orientation: str = "centroid",
 ):
     """Rotation/scale-equivariant normalized patch descriptors.
 
@@ -148,7 +189,10 @@ def oriented_patch_descriptors(
       ((K, patch*patch) L2-normalized descriptors, (K,) theta used).
     """
     if theta is None:
-        theta = keypoint_orientations(img, xy, scale)
+        if orientation == "gradient":
+            theta = keypoint_orientations_gradient(img, xy, scale)
+        else:
+            theta = keypoint_orientations(img, xy, scale)
     half = (patch - 1) / 2.0
     g = (jnp.arange(patch, dtype=img.dtype) - half) * stride
     gy, gx = jnp.meshgrid(g, g, indexing="ij")

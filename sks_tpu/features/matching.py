@@ -77,24 +77,31 @@ def match_frames(img1: Array, img2: Array, num_corners: int = 512,
 
 
 @partial(jax.jit, static_argnames=("num_corners", "num_octaves", "patch",
-                                   "ratio"))
+                                   "ratio", "orientation"))
 def match_frames_oriented(
     img1: Array, img2: Array, num_corners: int = 512, num_octaves: int = 3,
-    patch: int = 8, ratio: float = 0.9,
+    patch: int = 8, ratio: float = 0.9, orientation: str = "gradient",
 ):
     """Rotation/scale-robust detect->describe->match between two frames.
 
-    Octave-pyramid Harris + ORB-oriented, scale-adapted patch descriptors —
+    Octave-pyramid Harris + oriented, scale-adapted patch descriptors —
     the configuration that survives real image pairs with camera roll/zoom
     (plain :func:`match_frames` is cheaper for small-baseline tracking).
+    ``orientation='gradient'`` (default) uses smoothed-gradient orientation
+    at ~4x fewer gathers than the ORB intensity centroid ('centroid') — and
+    measured equal-or-better corner accuracy with MORE matches on the photo
+    protocols (bench_results/REAL_PHOTO.md), so the cheap one is also the
+    better one here.
 
     Returns (pts1 (K, 2), pts2 (K, 2), valid (K,), quality (K,)) — quality is
     the match similarity, usable as the PROSAC sort key.
     """
     xy1, _, v1, s1 = detect_corners_pyramid(img1, num_corners, num_octaves)
     xy2, _, v2, s2 = detect_corners_pyramid(img2, num_corners, num_octaves)
-    d1, _ = oriented_patch_descriptors(img1, xy1, scale=s1, patch=patch)
-    d2, _ = oriented_patch_descriptors(img2, xy2, scale=s2, patch=patch)
+    d1, _ = oriented_patch_descriptors(img1, xy1, scale=s1, patch=patch,
+                                       orientation=orientation)
+    d2, _ = oriented_patch_descriptors(img2, xy2, scale=s2, patch=patch,
+                                       orientation=orientation)
     idx2, valid = match_descriptors(d1, d2, v1, v2, ratio)
     pts2 = jnp.take(xy2, idx2, axis=0)
     quality = jnp.sum(d1 * jnp.take(d2, idx2, axis=0), axis=-1)

@@ -29,8 +29,8 @@ irregular memory access, bit-identical weights to ``bilinear_sample``
 ``12N`` scattered loads the VPU serializes.  Measured: **1,339 tracks/s,
 12.0x the gather path** (``bench_results/ESM_TRACK.json``) — the dense
 tracker is now an order of magnitude FASTER per pair than the feature
-pipeline (~85 pairs/s under hoist-proof timing; descriptor gathers bound
-it).
+pipeline (~287 pairs/s under hoist-proof timing; descriptor gathers
+bound it).
 
 Math (forward compositional, ESM gradient):
   warp  w(x; H) = pi(H x),   update  H <- H . exp(sum_k d_k G_k)
