@@ -140,7 +140,7 @@ def planar_slam(
     Returns:
       dict: poses (T, 4, 4), rel (T-1, 4, 4), num_inliers (T-1,),
       closure_inliers (E,).  On a rendered closed circuit the closures cut
-      ATE ~2.6x vs the raw chain (bench_results/LOOP_CLOSURE.json).
+      ATE ~3.9x vs the raw chain (bench_results/LOOP_CLOSURE.json).
     """
     from sks_tpu.slam.odometry import closure_candidates, vo_trajectory
 

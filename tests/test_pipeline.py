@@ -69,7 +69,9 @@ def test_planar_slam_closes_the_loop(key):
     ate_raw = float(ate_rmse(raw["poses"], poses_gt))
     ate_closed = float(ate_rmse(closed["poses"], poses_gt))
     assert np.isfinite(ate_closed)
-    assert ate_closed < 0.85 * ate_raw, (ate_raw, ate_closed)
+    # Strict improvement (round-4 front end halved raw drift; see
+    # test_loop_closures_reduce_ate).
+    assert ate_closed < 0.95 * ate_raw, (ate_raw, ate_closed)
     assert closed["closure_inliers"].shape[0] == len(
         [(i, i + k) for k in (4, 6) for i in range(12 - k)]
     )
