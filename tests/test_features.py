@@ -65,9 +65,12 @@ def test_end_to_end_homography_from_images():
 
 
 @pytest.mark.slow
-def test_oriented_descriptors_rotation_invariant():
+@pytest.mark.parametrize("orientation", ["centroid", "gradient"])
+def test_oriented_descriptors_rotation_invariant(orientation):
     """Oriented descriptors of a rotated view match the unrotated ones;
-    axis-aligned descriptors do not (the VERDICT r1 weak-#5 upgrade)."""
+    axis-aligned descriptors do not (the VERDICT r1 weak-#5 upgrade).
+    Covers both the ORB intensity-centroid and the cheap smoothed-gradient
+    reference orientation (the round-4 pipeline default)."""
     from sks_tpu.data.images import plane_texture, warp_image
     from sks_tpu.features.descriptors import oriented_patch_descriptors
 
@@ -85,8 +88,8 @@ def test_oriented_descriptors_rotation_invariant():
     from sks_tpu.geom.homography import apply_homography
     xy2 = apply_homography(h_rot, xy1)  # same physical points, rotated view
 
-    d1o, _ = oriented_patch_descriptors(img, xy1)
-    d2o, _ = oriented_patch_descriptors(img2, xy2)
+    d1o, _ = oriented_patch_descriptors(img, xy1, orientation=orientation)
+    d2o, _ = oriented_patch_descriptors(img2, xy2, orientation=orientation)
     sim_oriented = jnp.sum(d1o * d2o, axis=-1)
 
     d1a = patch_descriptors(img, xy1)
