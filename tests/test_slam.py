@@ -121,3 +121,40 @@ def test_posegraph_weights_disable_edges(key):
     g2 = PoseGraph(graph.poses, graph.edges, graph.meas, w)
     r = posegraph_residuals(g2)
     assert float(jnp.sum(r[3] ** 2)) == 0.0
+
+
+def test_dense_posegraph_matches_cg(key):
+    """The dense-GN pose graph (vectorized Jacobian + direct solve) must
+    agree with the matrix-free CG optimizer at convergence — same normal
+    equations, different solvers.  (Dense measured slower on TPU, so CG
+    stays the default; dense is kept for small-graph CPU/debug use.)"""
+    from sks_tpu.geom.lie import se3_exp
+    from sks_tpu.slam.posegraph import (
+        PoseGraph,
+        _inv_se3,
+        optimize_posegraph,
+        optimize_posegraph_dense,
+    )
+
+    k = 6
+    ang = 0.05 * jnp.arange(k, dtype=jnp.float32)
+    xi = jnp.stack([ang, 0 * ang, ang * 0.3, 0 * ang, 0 * ang, ang], -1)
+    poses_gt = se3_exp(xi)
+    edges = jnp.stack([jnp.arange(k - 1), jnp.arange(1, k)], -1).astype(
+        jnp.int32
+    )
+    meas = _inv_se3(poses_gt[edges[:, 0]]) @ poses_gt[edges[:, 1]]
+    # Start from perturbed poses; both optimizers must recover the chain.
+    noise = 0.02 * jax.random.normal(key, (k, 6), jnp.float32)
+    poses0 = se3_exp(xi + noise.at[0].set(0.0))
+    g = PoseGraph(poses0, edges, meas, jnp.ones((k - 1,), jnp.float32))
+    out_cg = optimize_posegraph(g, gn_iters=8, cg_iters=40).poses
+    out_dn = optimize_posegraph_dense(g, gn_iters=8).poses
+    assert np.allclose(np.asarray(out_cg), np.asarray(out_dn), atol=1e-3)
+    # And both actually reduced the residual vs the start.
+    from sks_tpu.slam.posegraph import posegraph_residuals
+
+    r0 = float(jnp.sum(posegraph_residuals(g) ** 2))
+    r1 = float(jnp.sum(posegraph_residuals(
+        PoseGraph(out_dn, edges, meas, g.weights)) ** 2))
+    assert r1 < 1e-3 * max(r0, 1e-12), (r0, r1)
