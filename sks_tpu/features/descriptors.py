@@ -1,4 +1,11 @@
-"""Normalized patch descriptors via bilinear gathers (batched, fixed shape).
+"""Normalized patch descriptors (batched, fixed shape).
+
+Sampling runs through :func:`bilinear_sample_matmul` on TPU by default
+(round 5): the irregular bilinear gather — the one access pattern the
+MXU/VPU cannot vectorize, and the measured bottleneck of the whole feature
+pipeline (bench_results/PIPELINE_FPS.json r4 note) — is reformulated as
+one-hot row-weight matmuls, the transformation proven 12x on the ESM
+tracker (``slam.tracking``, bench_results/ESM_TRACK.json).
 
 Two tiers:
 
@@ -28,6 +35,7 @@ __all__ = [
     "keypoint_orientations",
     "keypoint_orientations_gradient",
     "bilinear_sample",
+    "bilinear_sample_matmul",
 ]
 
 
@@ -60,8 +68,73 @@ def bilinear_sample(img: Array, xy: Array) -> Array:
     )
 
 
-@partial(jax.jit, static_argnames=("patch", "stride"))
-def patch_descriptors(img: Array, xy: Array, patch: int = 8, stride: int = 2):
+def _bilinear_weights(coord: Array, size: int, dtype):
+    """One-hot bilinear weight rows: (N,) coords -> (N, size) with
+    ``1-f`` at ``floor(c)`` and ``f`` at ``floor(c)+1`` (clamped like
+    :func:`bilinear_sample`)."""
+    c = jnp.clip(coord, 0.0, size - 1.001)
+    c0 = jnp.floor(c)
+    f = (c - c0).astype(dtype)
+    c0 = c0.astype(jnp.int32)
+    idx = jnp.arange(size, dtype=jnp.int32)[None, :]
+    return (
+        (idx == c0[:, None]).astype(dtype) * (1.0 - f[:, None])
+        + (idx == c0[:, None] + 1).astype(dtype) * f[:, None]
+    )
+
+
+def bilinear_sample_matmul(img: Array, xy: Array) -> Array:
+    """Bilinear sampling as dense MXU linear algebra — zero irregular gathers.
+
+    The y-interpolation becomes a one-hot *row-weight* matrix ``Wy (N, H)``
+    with ``(1-fy, fy)`` at rows ``(y0, y0+1)``, applied as ONE matmul
+    ``Wy @ img (H, W)``; the x-interpolation is an elementwise masked
+    reduction with the analogous ``Wx (N, W)``.  Same clamping as
+    :func:`bilinear_sample`; results identical up to float summation order.
+
+    An irregular gather is the one access pattern the MXU/VPU cannot
+    vectorize — this trades ``N*H*W`` dense MACs (what the MXU is built
+    for) for the ``4N`` scattered loads the VPU serializes.  Proven 12x on
+    the ESM tracker (``slam.tracking``, bench_results/ESM_TRACK.json); the
+    same lesson as the reference GPU stack's coalesced SoA layout
+    (``GPU_Runtime Test.cu:87-95`` — regular memory access is everything).
+
+    Leading dims of ``xy`` are kept as matmul batch dims rather than
+    flattened: a (K, P^2, 2) patch grid becomes K batched (P^2, H)@(H, W)
+    products.  Measured: the flattened (K*P^2, H) single matmul hits an
+    XLA compile pathology at VGA — 460 ms vs 9 ms for the batched form at
+    identical FLOPs (the x-interpolation epilogue stops fusing) — while at
+    QVGA the two are equal.  Keep the structure; let XLA batch.
+
+    Args:
+      img: (H, W) image.  xy: (..., n, 2) [x, y] sample locations.
+
+    Returns:
+      (..., n) sampled values.
+    """
+    if xy.ndim > 2:
+        return jax.vmap(lambda p: bilinear_sample_matmul(img, p))(xy)
+    h, w = img.shape[-2:]
+    dt = img.dtype
+    wy = _bilinear_weights(xy[:, 1], h, dt)  # (n, H)
+    wx = _bilinear_weights(xy[:, 0], w, dt)  # (n, W)
+    rows = jax.lax.dot(wy, img, precision="highest")  # (n, W)
+    return jnp.sum(rows * wx, axis=-1)
+
+
+def _sample(img: Array, xy: Array, sampler: str) -> Array:
+    """Dispatch bilinear sampling: 'matmul', 'gather', or 'auto' (matmul on
+    TPU — where gathers serialize — gather elsewhere)."""
+    if sampler == "matmul" or (
+        sampler == "auto" and jax.default_backend() == "tpu"
+    ):
+        return bilinear_sample_matmul(img, xy)
+    return bilinear_sample(img, xy)
+
+
+@partial(jax.jit, static_argnames=("patch", "stride", "sampler"))
+def patch_descriptors(img: Array, xy: Array, patch: int = 8, stride: int = 2,
+                      sampler: str = "auto"):
     """Mean/variance-normalized intensity-patch descriptors.
 
     Args:
@@ -78,7 +151,7 @@ def patch_descriptors(img: Array, xy: Array, patch: int = 8, stride: int = 2):
     gy, gx = jnp.meshgrid(g, g, indexing="ij")
     offs = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)  # (P^2, 2)
     pts = xy[:, None, :] + offs[None, :, :]  # (K, P^2, 2)
-    vals = bilinear_sample(img, pts)  # (K, P^2)
+    vals = _sample(img, pts, sampler)  # (K, P^2)
     mu = vals.mean(axis=-1, keepdims=True)
     vals = vals - mu
     nrm = jnp.sqrt(jnp.sum(vals * vals, axis=-1, keepdims=True) + 1e-8)
@@ -162,7 +235,8 @@ def keypoint_orientations_gradient(
     return jnp.arctan2(vy, vx)
 
 
-@partial(jax.jit, static_argnames=("patch", "stride", "orientation"))
+@partial(jax.jit, static_argnames=("patch", "stride", "orientation",
+                                   "sampler"))
 def oriented_patch_descriptors(
     img: Array,
     xy: Array,
@@ -171,6 +245,7 @@ def oriented_patch_descriptors(
     patch: int = 8,
     stride: float = 2.0,
     orientation: str = "centroid",
+    sampler: str = "auto",
 ):
     """Rotation/scale-equivariant normalized patch descriptors.
 
@@ -184,6 +259,9 @@ def oriented_patch_descriptors(
       xy: (K, 2) centers.  theta: optional (K,) orientations (radians).
       scale: optional (K,) per-keypoint scales (1.0 = base octave).
       patch: descriptor grid side.  stride: base grid spacing in pixels.
+      sampler: 'matmul' (one-hot MXU sampling,
+        :func:`bilinear_sample_matmul`), 'gather', or 'auto' (matmul on
+        TPU).  Identical values up to float summation order.
 
     Returns:
       ((K, patch*patch) L2-normalized descriptors, (K,) theta used).
@@ -205,7 +283,7 @@ def oriented_patch_descriptors(
     if scale is not None:
         rot = rot * scale[:, None, None]
     pts = xy[:, None, :] + rot
-    vals = bilinear_sample(img, pts)
+    vals = _sample(img, pts, sampler)
     mu = vals.mean(axis=-1, keepdims=True)
     vals = vals - mu
     nrm = jnp.sqrt(jnp.sum(vals * vals, axis=-1, keepdims=True) + 1e-8)

@@ -14,7 +14,8 @@ from sks_tpu.features.descriptors import (
 )
 from sks_tpu.features.harris import detect_corners, detect_corners_pyramid
 
-__all__ = ["match_descriptors", "match_frames", "match_frames_oriented"]
+__all__ = ["match_descriptors", "match_frames", "match_frames_oriented",
+           "describe_frames", "match_features"]
 
 
 @partial(jax.jit, static_argnames=("ratio",))
@@ -106,3 +107,47 @@ def match_frames_oriented(
     pts2 = jnp.take(xy2, idx2, axis=0)
     quality = jnp.sum(d1 * jnp.take(d2, idx2, axis=0), axis=-1)
     return xy1, pts2, valid, quality
+
+
+@partial(jax.jit, static_argnames=("num_corners", "num_octaves", "patch",
+                                   "orientation"))
+def describe_frames(
+    frames: Array, num_corners: int = 512, num_octaves: int = 3,
+    patch: int = 8, orientation: str = "gradient",
+):
+    """Detect + describe a whole frame batch ONCE (vmapped, one trace).
+
+    The pair-at-a-time front end (:func:`match_frames_oriented` over
+    ``zip(frames[:-1], frames[1:])``) detects and describes every interior
+    frame TWICE — in steady-state video each new frame needs exactly one
+    detect/describe, so caching per-frame features halves the front-end
+    cost (round-5 restructure; the descriptors are bit-identical, only the
+    call structure changes).
+
+    Returns dict of per-frame feature arrays: ``xy (T, K, 2)``,
+    ``valid (T, K)``, ``scale (T, K)``, ``desc (T, K, D)``.
+    """
+    def one(f):
+        xy, _, v, s = detect_corners_pyramid(f, num_corners, num_octaves)
+        d, _ = oriented_patch_descriptors(f, xy, scale=s, patch=patch,
+                                          orientation=orientation)
+        return xy, v, s, d
+
+    xy, valid, scale, desc = jax.vmap(one)(frames)
+    return {"xy": xy, "valid": valid, "scale": scale, "desc": desc}
+
+
+@partial(jax.jit, static_argnames=("ratio",))
+def match_features(f1: dict, f2: dict, ratio: float = 0.9):
+    """Match two cached per-frame feature dicts (entries of
+    :func:`describe_frames`, vmappable over a leading pair axis).
+
+    Returns (pts1 (K, 2), pts2 (K, 2), valid (K,), quality (K,)) — same
+    contract as :func:`match_frames_oriented`.
+    """
+    idx2, valid = match_descriptors(f1["desc"], f2["desc"], f1["valid"],
+                                    f2["valid"], ratio)
+    pts2 = jnp.take(f2["xy"], idx2, axis=0)
+    quality = jnp.sum(f1["desc"] * jnp.take(f2["desc"], idx2, axis=0),
+                      axis=-1)
+    return f1["xy"], pts2, valid, quality

@@ -34,7 +34,11 @@ import jax.numpy as jnp
 from jax import Array, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sks_tpu.features.matching import match_frames_oriented
+from sks_tpu.features.matching import (
+    describe_frames,
+    match_features,
+    match_frames_oriented,
+)
 from sks_tpu.robust.ransac import RansacConfig
 from sks_tpu.slam.odometry import chain_metric, fit_pair
 
@@ -52,16 +56,32 @@ def _match_pad(f1: Array, f2: Array, num_corners: int, num_octaves: int,
     return p1, p2, valid
 
 
-def _fit_pairs(key, frames1, frames2, k_mat, config, num_corners,
-               num_octaves, plane_normal, pair_offset=0, esm_iters=0):
-    """Match + RANSAC + pose for a batch of pairs (vmapped, one trace)."""
-    shape = frames1.shape[-2:]
-    p1s, p2s, masks = jax.vmap(
-        lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
-    )(frames1, frames2)
+def _match_pairs_cached(frames: Array, idx1, idx2, num_corners: int,
+                        num_octaves: int):
+    """Detect+describe every frame ONCE, then match the (idx1, idx2) pairs.
+
+    The pair-at-a-time form detects/describes each interior frame twice;
+    per-frame caching halves the front-end cost with bit-identical features
+    (round 5 — see :func:`sks_tpu.features.matching.describe_frames`).
+    Invalid match slots are padded to the image center (masked out).
+    """
+    shape = frames.shape[-2:]
+    feats = describe_frames(frames, num_corners, num_octaves)
+    f_i = jax.tree.map(lambda a: a[idx1], feats)
+    f_j = jax.tree.map(lambda a: a[idx2], feats)
+    p1, p2, valid, _ = jax.vmap(match_features)(f_i, f_j)
+    center = jnp.asarray([shape[1] / 2.0, shape[0] / 2.0], jnp.float32)
+    p1 = jnp.where(valid[..., None], p1, center)
+    p2 = jnp.where(valid[..., None], p2, center)
+    return p1, p2, valid
+
+
+def _fit_matches(key, p1s, p2s, masks, k_mat, config, plane_normal,
+                 frames1=None, frames2=None, pair_offset=0, esm_iters=0):
+    """RANSAC + pose for pre-matched pair batches (vmapped, one trace)."""
     from sks_tpu.utils.rng import fold_in_stream
 
-    keys = fold_in_stream(key, frames1.shape[0], offset=pair_offset)
+    keys = fold_in_stream(key, p1s.shape[0], offset=pair_offset)
     if esm_iters:
         return jax.vmap(
             lambda k, p1, p2, pm, f1, f2: fit_pair(
@@ -72,6 +92,17 @@ def _fit_pairs(key, frames1, frames2, k_mat, config, num_corners,
         lambda k, p1, p2, pm: fit_pair(k, p1, p2, pm, k_mat, config,
                                        plane_normal)
     )(keys, p1s, p2s, masks)
+
+
+def _fit_pairs(key, frames1, frames2, k_mat, config, num_corners,
+               num_octaves, plane_normal, pair_offset=0, esm_iters=0):
+    """Match + RANSAC + pose for a batch of pairs (vmapped, one trace)."""
+    shape = frames1.shape[-2:]
+    p1s, p2s, masks = jax.vmap(
+        lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
+    )(frames1, frames2)
+    return _fit_matches(key, p1s, p2s, masks, k_mat, config, plane_normal,
+                        frames1, frames2, pair_offset, esm_iters)
 
 
 @partial(jax.jit, static_argnames=("config", "num_corners", "num_octaves",
@@ -96,9 +127,13 @@ def frames_to_poses(
     """
     if plane_normal is None:
         plane_normal = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-    r, t_over_d, n, ninl = _fit_pairs(
-        key, frames[:-1], frames[1:], k_mat, config, num_corners,
-        num_octaves, plane_normal, esm_iters=esm_iters,
+    t = frames.shape[0]
+    idx = jnp.arange(t - 1)
+    p1s, p2s, masks = _match_pairs_cached(frames, idx, idx + 1, num_corners,
+                                          num_octaves)
+    r, t_over_d, n, ninl = _fit_matches(
+        key, p1s, p2s, masks, k_mat, config, plane_normal,
+        frames[:-1], frames[1:], esm_iters=esm_iters,
     )
     rel, poses, _ = chain_metric(r, t_over_d, n, plane_depth)
     return {"poses": poses, "rel": rel, "num_inliers": ninl}
@@ -144,11 +179,21 @@ def planar_slam(
     """
     from sks_tpu.slam.odometry import closure_candidates, vo_trajectory
 
-    shape = frames.shape[-2:]
-    p1s, p2s, masks = jax.vmap(
-        lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
-    )(frames[:-1], frames[1:])
-    pairs = closure_candidates(frames.shape[0], strides)
+    t = frames.shape[0]
+    idx = jnp.arange(t - 1)
+    pairs = closure_candidates(t, strides)
+    if pairs:
+        # ONE describe_frames serves consecutive AND closure matching.
+        cp = jnp.asarray(pairs, jnp.int32)
+        i1 = jnp.concatenate([idx, cp[:, 0]])
+        i2 = jnp.concatenate([idx + 1, cp[:, 1]])
+        p1a, p2a, ma = _match_pairs_cached(frames, i1, i2, num_corners,
+                                           num_octaves)
+        p1s, p2s, masks = p1a[:t - 1], p2a[:t - 1], ma[:t - 1]
+        c1s, c2s, cmasks = p1a[t - 1:], p2a[t - 1:], ma[t - 1:]
+    else:
+        p1s, p2s, masks = _match_pairs_cached(frames, idx, idx + 1,
+                                              num_corners, num_octaves)
     if not pairs:
         # Too few frames for any closure stride (T <= min(strides)): reduce
         # to the plain odometry chain (ADVICE r3 — the empty (0, 2) closure
@@ -160,10 +205,6 @@ def planar_slam(
         )
         out["closure_inliers"] = jnp.zeros((0,), jnp.int32)
         return out
-    cp = jnp.asarray(pairs, jnp.int32)
-    c1s, c2s, cmasks = jax.vmap(
-        lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
-    )(frames[cp[:, 0]], frames[cp[:, 1]])
     return vo_trajectory(
         key, p1s, p2s, k_mat, config, plane_depth=plane_depth,
         smooth=smooth, plane_normal=plane_normal, point_mask=masks,
@@ -231,7 +272,7 @@ def sharded_frames_to_poses(
 
 @partial(jax.jit, static_argnames=("mesh", "config", "num_corners",
                                    "num_octaves", "plane_depth", "strides",
-                                   "smooth", "axis"))
+                                   "smooth", "axis", "esm_iters"))
 def sharded_planar_slam(
     mesh: Mesh,
     key: Array,
@@ -245,6 +286,7 @@ def sharded_planar_slam(
     strides: tuple = (4, 8),
     smooth: bool = True,
     axis: str = "pair",
+    esm_iters: int = 0,
 ):
     """The sharded capstone: :func:`planar_slam` with ALL pair fits —
     consecutive AND loop-closure — sharded across ``mesh[axis]``.
@@ -261,6 +303,9 @@ def sharded_planar_slam(
     (``odometry.assemble_trajectory``) are replicated — BASELINE config 5's
     "keyframe-sharded matching + distributed BA" shape at the capstone
     level (VERDICT r3 item 4).
+
+    ``esm_iters > 0`` densely ESM-polishes every sharded pair fit before
+    pose recovery, matching :func:`planar_slam`'s option (ADVICE r4).
     """
     from sks_tpu.slam.odometry import (
         assemble_trajectory,
@@ -291,10 +336,17 @@ def sharded_planar_slam(
         p1s, p2s, masks = jax.vmap(
             lambda a, b: _match_pad(a, b, num_corners, num_octaves, shape)
         )(f1s, f2s)
-        r, td, n, ninl = jax.vmap(
-            lambda k, p1, p2, pm: fit_pair(k, p1, p2, pm, k_mat, config,
-                                           plane_normal)
-        )(keys, p1s, p2s, masks)
+        if esm_iters:
+            r, td, n, ninl = jax.vmap(
+                lambda k, p1, p2, pm, a, b: fit_pair(
+                    k, p1, p2, pm, k_mat, config, plane_normal, a, b,
+                    esm_iters)
+            )(keys, p1s, p2s, masks, f1s, f2s)
+        else:
+            r, td, n, ninl = jax.vmap(
+                lambda k, p1, p2, pm: fit_pair(k, p1, p2, pm, k_mat, config,
+                                               plane_normal)
+            )(keys, p1s, p2s, masks)
         r = jax.lax.all_gather(r, axis, tiled=True)
         td = jax.lax.all_gather(td, axis, tiled=True)
         n = jax.lax.all_gather(n, axis, tiled=True)

@@ -28,9 +28,10 @@ irregular memory access, bit-identical weights to ``bilinear_sample``
 ``N*H*3W`` MACs/iteration — compute the MXU is built for — instead of
 ``12N`` scattered loads the VPU serializes.  Measured: **1,339 tracks/s,
 12.0x the gather path** (``bench_results/ESM_TRACK.json``) — the dense
-tracker is now an order of magnitude FASTER per pair than the feature
-pipeline (~287 pairs/s under hoist-proof timing; descriptor gathers
-bound it).
+tracker ran an order of magnitude FASTER per pair than the round-4
+feature pipeline — which is why round 5 applied the same transformation
+to the descriptor stage (``features.descriptors.bilinear_sample_matmul``),
+taking the pipeline to ~1,120 pairs/s.
 
 Math (forward compositional, ESM gradient):
   warp  w(x; H) = pi(H x),   update  H <- H . exp(sum_k d_k G_k)
@@ -52,7 +53,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from sks_tpu.features.descriptors import bilinear_sample
+from sks_tpu.features.descriptors import _bilinear_weights, bilinear_sample
 from sks_tpu.geom.lie import sl3_basis, sl3_exp
 
 __all__ = ["esm_track", "esm_track_pyramid", "esm_polish_pair", "esm_guard"]
@@ -70,21 +71,6 @@ def _grad(img: Array) -> tuple:
     gx = 0.5 * (px[:, 2:] - px[:, :-2])
     gy = 0.5 * (py[2:, :] - py[:-2, :])
     return gx, gy
-
-
-def _bilinear_weights(coord: Array, size: int, dtype):
-    """One-hot bilinear weight rows: (N,) coords -> (N, size) with
-    ``1-f`` at ``floor(c)`` and ``f`` at ``floor(c)+1`` (clamped like
-    :func:`sks_tpu.features.descriptors.bilinear_sample`)."""
-    c = jnp.clip(coord, 0.0, size - 1.001)
-    c0 = jnp.floor(c)
-    f = (c - c0).astype(dtype)
-    c0 = c0.astype(jnp.int32)
-    idx = jnp.arange(size, dtype=jnp.int32)[None, :]
-    return (
-        (idx == c0[:, None]).astype(dtype) * (1.0 - f[:, None])
-        + (idx == c0[:, None] + 1).astype(dtype) * f[:, None]
-    )
 
 
 @partial(jax.jit, static_argnames=("iters", "photometric", "dof", "sampler"))
@@ -111,7 +97,10 @@ def esm_track(
       origin: (2,) template's top-left in its own coordinate frame
         (default (0, 0)); template pixel p has homogeneous coords
         (origin + p, 1).
-      iters: damped Gauss-Newton iterations (static).
+      iters: damped Gauss-Newton iteration CAP (static); the loop exits
+        early on convergence (sub-1e-5 accepted step + flat cost) or a
+        damping blow-up.  Under vmap the batch runs until every element
+        converges (lax.while_loop semantics).
       damping: Levenberg diagonal damping added to J^T J.
       photometric: solve a closed-form gain/bias (I_w ~ a T + b) each
         iteration — brightness constancy rarely holds between real frames
@@ -215,8 +204,8 @@ def esm_track(
         w = jnp.minimum(1.0, huber / jnp.maximum(jnp.abs(r), 1e-12))
         return jnp.sum(w * r * r), valid
 
-    def body(_, carry):
-        h, lam, _ = carry
+    def body(carry):
+        h, lam, _, it, _ = carry
         y = xh @ h.T  # (N, 3)
         z = y[:, 2]
         iz = 1.0 / jnp.maximum(z, 1e-6)
@@ -259,12 +248,25 @@ def esm_track(
         lam = jnp.where(ok, jnp.maximum(lam * 0.3, 1e-6), lam * 8.0)
         nval = jnp.maximum(jnp.sum(valid), 1.0)
         rms = jnp.sqrt(jnp.where(ok, c_new, c_old) / nval)
-        return h, lam, rms
+        # Convergence exit (round 5): ``iters`` is a cap, not a cost.  Done
+        # when an accepted step is sub-convergence-scale in BOTH parameters
+        # and cost, or when damping has grown past any useful step (stuck
+        # at a rejected minimum).  Near-converged polish starts (the
+        # esm_polish_pair case: RANSAC leaves ~1 px) exit in a few of the
+        # 8 capped iterations.
+        small = (jnp.max(jnp.abs(d)) < 1e-5) & (
+            c_old - c_new < 1e-5 * (c_old + 1e-30))
+        done = (ok & small) | (lam > 1e6)
+        return h, lam, rms, it + 1, done
 
-    h, _, rms = jax.lax.fori_loop(
-        0, iters, body,
+    def cond(carry):
+        return (carry[3] < iters) & ~carry[4]
+
+    h, _, rms, _, _ = jax.lax.while_loop(
+        cond, body,
         (jnp.asarray(h0, dt), jnp.asarray(damping, dt),
-         jnp.asarray(jnp.inf, dt)),
+         jnp.asarray(jnp.inf, dt), jnp.asarray(0, jnp.int32),
+         jnp.asarray(False)),
     )
     return h, rms
 
