@@ -1,148 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: batched ACA homography throughput on one chip.
+"""Headline benchmark driver: prints ONE JSON line (see the module).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
-
-Baseline: the reference's CUDA ACA at B=1M runs 245 us per batch on the paper's
-GPU (BASELINE.md, Table 8) => ~4.08e9 homographies/s — the number this
-TPU-native batched ACA competes with.
-
-Methodology: device-side chained loop (see sks_tpu/bench/chained.py) — K
-serialized kernel invocations in one dispatch, two-point K fit to cancel
-dispatch overhead.  Same work per step as the reference's CUDA kernel
-(16 floats in, 9 out per hypothesis).
-
-Bandwidth accounting (VERDICT r2 item 3), resolved by direct measurement:
-at B=1M the working set (64 MB in + 36 MB out) fits the v5e's 128 MB VMEM,
-and XLA keeps the chained loop's buffers VMEM-resident — a probe of a pure
-elementwise chained loop runs a 64 MB carry at an implied 10.8 TB/s (13x the
-HBM spec) but a 512 MB carry at 638 GB/s (78% of the 819 GB/s spec).  So the
-B=1M headline is an **on-chip (VMEM-resident) steady state** — representative
-of the fused-RANSAC production path, where hypotheses are solved and scored
-in VMEM and never round-trip HBM — while B=2M (200 MB working set) forces
-genuine HBM input streaming (B=4M trips a compile-time HBM budget).  The JSON reports both, with effective GB/s and
-roofline fractions.  Spec: TPU v5e ("TPU v5 lite") HBM ~819 GB/s.
+Thin shim over :mod:`sks_tpu.bench.headline` so the same code serves the
+repo-root driver convention and the installed ``sks-bench`` console entry
+point (pyproject.toml).
 """
 
-import json
+import os
 import sys
 
-BASELINE_H_PER_S = 1_000_000 / 245e-6  # reference CUDA ACA @ B=1M
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-#: HBM bandwidth spec by device_kind (GB/s).  v5e per the public spec sheet.
-HBM_SPEC_GBPS = {
-    "TPU v5 lite": 819.0,
-    "TPU v5": 2765.0,
-    "TPU v4": 1228.0,
-    "TPU v6 lite": 1640.0,
-}
-
-
-def main():
-    import jax
-
-    from sks_tpu.bench.chained import (
-        aca_pallas_chained,
-        aca_xla_chained,
-        chained_step_seconds,
-    )
-    from sks_tpu.utils.flops import bytes_per_hypothesis, roofline_hps
-
-    import jax.numpy as jnp
-
-    from sks_tpu.utils.synth import random_quad_pairs
-
-    def make_soa(batch, seed=0):
-        m = batch // 128
-        key = jax.random.PRNGKey(seed)
-        src, tar = jax.jit(
-            lambda k: random_quad_pairs(k, batch, jnp.float32)
-        )(key)
-        s = jax.jit(lambda x: x.reshape(batch, 8).T.reshape(8, m, 128))(src)
-        t = jax.jit(lambda x: x.reshape(batch, 8).T.reshape(8, m, 128))(tar)
-        jax.block_until_ready((s, t))
-        return s, t
-
-    def measure(batch, k1, k2):
-        s, t = make_soa(batch)
-        if jax.default_backend() == "tpu":
-            sec = chained_step_seconds(aca_pallas_chained, s, t, k1=k1, k2=k2)
-        else:
-            sec = chained_step_seconds(aca_xla_chained, s, t, k1=20, k2=100)
-        return batch / sec
-
-    def measure_fully_streamed(batch, rotate=3, k1=20, k2=100):
-        """Rotating distinct input/output buffers: working set R*(64+36) MB
-        >> VMEM, so BOTH directions must traverse HBM every step — the
-        physically-consistent full-round-trip bandwidth (VERDICT r3 item 8;
-        the fixed-buffer B=2M row only streams inputs)."""
-        from sks_tpu.bench.chained import aca_pallas_chained_rotating
-
-        sets = [make_soa(batch, seed=i + 1) for i in range(rotate)]
-        s_all = jnp.stack([s for s, _ in sets])
-        t_all = jnp.stack([t for _, t in sets])
-        jax.block_until_ready((s_all, t_all))
-        sec = chained_step_seconds(
-            aca_pallas_chained_rotating, s_all, t_all, k1=k1, k2=k2
-        )
-        return batch / sec
-
-    batch = 1 << 20
-    hps = measure(batch, 200, 1000)
-    on_tpu = jax.default_backend() == "tpu"
-    # HBM-streaming regime: 2M hypotheses = 200 MB working set > 128 MB VMEM
-    # (4M trips an XLA compile-time HBM-budget failure on this relay).
-    try:
-        hps_stream = measure(1 << 21, 100, 500) if on_tpu else None
-    except Exception:
-        hps_stream = None
-    # Fully-streamed regime: 3 rotating input sets + 3 output slots at B=1M
-    # = 300 MB working set >> 128 MB VMEM; reads AND writes hit HBM.
-    try:
-        hps_fs = measure_fully_streamed(1 << 20) if on_tpu else None
-    except Exception:
-        hps_fs = None
-    device_kind = jax.devices()[0].device_kind
-    spec = HBM_SPEC_GBPS.get(device_kind)
-    full_rt_bytes = bytes_per_hypothesis(4)  # 100 B: 16 in + 9 out floats
-    out = {
-        "metric": "aca_homographies_per_sec_per_chip",
-        "value": hps,
-        "unit": "H/s",
-        "vs_baseline": hps / BASELINE_H_PER_S,
-        "device_kind": device_kind,
-        "hbm_spec_gbps": spec,
-        "regime_b1m": "vmem_resident (100 MB working set < 128 MB VMEM)",
-        "hps_hbm_streaming_b2m": hps_stream,
-    }
-    if spec:
-        out["roofline_hps_hbm"] = roofline_hps(spec)
-        if hps_stream:
-            # At B=2M the 72 MB output block can still sit in VMEM while the
-            # 128 MB of inputs stream, so implied HBM traffic is bounded by
-            # [inputs-only 64 B/hyp, full round trip 100 B/hyp].
-            out["vs_baseline_hbm_streaming"] = hps_stream / BASELINE_H_PER_S
-            out["effective_gbps_streaming_inputs_only"] = (
-                hps_stream * 16 * 4 / 1e9
-            )
-            out["effective_gbps_streaming_full_rt"] = (
-                hps_stream * full_rt_bytes / 1e9
-            )
-            out["roofline_fraction_streaming_lower_bound"] = (
-                hps_stream * 16 * 4 / 1e9 / spec
-            )
-        if hps_fs:
-            out["hps_fully_streamed_rotating"] = hps_fs
-            # Every step reads 64 B and writes 36 B per hypothesis via HBM.
-            out["effective_gbps_fully_streamed_full_rt"] = (
-                hps_fs * full_rt_bytes / 1e9
-            )
-            out["roofline_fraction_fully_streamed"] = (
-                hps_fs * full_rt_bytes / 1e9 / spec
-            )
-    print(json.dumps(out))
-
+from sks_tpu.bench.headline import main  # noqa: E402
 
 if __name__ == "__main__":
     sys.exit(main())

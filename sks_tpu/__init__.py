@@ -22,6 +22,8 @@ Reference parity map (see SURVEY.md for file:line inventory):
   ops.ho        <-  cv::runKernel_HO          (C++ Codes/modules/HO.cpp:33)
 """
 
+import os as _os
+
 import jax as _jax
 
 # Geometry arithmetic MUST run matmuls in full f32: the TPU's default
@@ -34,7 +36,23 @@ import jax as _jax
 # package sets the f32-accumulation default once here rather than trusting
 # every future call site to remember ``precision=``.  Models/descriptor
 # matmuls that can afford bf16 opt back in locally.
-_jax.config.update("jax_default_matmul_precision", "highest")
+#
+# Host applications that manage their own precision can opt out
+# (``SKS_TPU_NO_GLOBAL_PRECISION=1``), and an explicit setting — via
+# JAX_DEFAULT_MATMUL_PRECISION or a prior config.update — is never
+# clobbered (ADVICE r4: an unconditional import-time update silently
+# degraded/overrode host defaults).  The hottest geometry sites
+# (solvers, polish, tracking, pose recovery) pass ``precision=`` at the
+# call, so core accuracy survives an opt-out; small 3x3 chain products
+# elsewhere rely on the default, so opting out on TPU trades a few ULPs of
+# pose-chain precision for host-app throughput — the caller's choice.
+if not _os.environ.get("SKS_TPU_NO_GLOBAL_PRECISION"):
+    _explicit = (
+        _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION") is not None
+        or _jax.config.jax_default_matmul_precision is not None
+    )
+    if not _explicit:
+        _jax.config.update("jax_default_matmul_precision", "highest")
 
 from sks_tpu.ops import (  # noqa: F401,E402
     aca,

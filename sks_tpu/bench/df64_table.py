@@ -107,6 +107,35 @@ def df64_soa_chained(s, t, k, *, name: str):
     return jnp.sum(out[:, 8])
 
 
+@partial(jax.jit, static_argnames=("chunks",))
+def ndlt_df64_chained(src, tar, k, chunks: int = 8):
+    """K chained df64 NDLT solves on (B, 4, 2) inputs (VERDICT r4 item 5).
+
+    The df64 normal-matrix chain materializes (B, 9, 9) hi/lo intermediates
+    (~648 MB at B=1M), so the batch runs as ``chunks`` sequential
+    ``lax.map`` slices — throughput-neutral at these sizes (each slice is
+    still 128K-wide) and HBM-safe.
+    """
+    from sks_tpu.ops.df64 import ndlt_df64_h
+
+    b = src.shape[0]
+    init = jnp.zeros((2, b, 3, 3), src.dtype)
+
+    def body(_, hh):
+        s = src + hh[0].reshape(-1)[8] * 1e-38
+
+        def one(args):
+            h = ndlt_df64_h(args[0], args[1])
+            return jnp.stack([h.hi, h.lo])
+
+        out = jax.lax.map(one, (s.reshape(chunks, b // chunks, 4, 2),
+                                tar.reshape(chunks, b // chunks, 4, 2)))
+        return jnp.moveaxis(out, 1, 0).reshape(2, b, 3, 3)
+
+    out = jax.lax.fori_loop(0, k, body, init)
+    return jnp.sum(out[..., 2, 2])
+
+
 def accuracy_check(batch: int = 1024):
     """df64 vs f32 solver accuracy on one exact batch (df64-scored)."""
     from sks_tpu.ops import SOLVERS
@@ -126,6 +155,18 @@ def accuracy_check(batch: int = 1024):
             "max_reproj_px_f32": float(r32),
             "max_reproj_px_df64": float(rdf),
         }
+    # NDLT df64 vs f32 (residuals scored in df64; up-to-scale H is fine —
+    # the symmetric transfer divides out scale).
+    from sks_tpu.ops.df64 import ndlt_df64_h
+
+    h32 = SOLVERS["ndlt"](src, tar)
+    hdf = ndlt_df64_h(src, tar)
+    out["ndlt"] = {
+        "max_reproj_px_f32": float(
+            jnp.sqrt(jnp.max(residual2_df64(h32, src, tar)))),
+        "max_reproj_px_df64": float(
+            jnp.sqrt(jnp.max(residual2_df64(hdf, src, tar)))),
+    }
     return out
 
 
@@ -159,6 +200,22 @@ def run(out_path: str | None = None):
             }
             rows.append(row)
             print(row, flush=True)
+        # NDLT df64 (VERDICT r4 item 5): the reference's fp64 DLT is its
+        # slowest kernel (151 ms at B=1M) while the repo's NDLT is its
+        # best-optimized baseline — the first candidate to beat native
+        # fp64 hardware at fp64-grade precision.
+        ref = REFERENCE_TABLE8_US["ndlt"].get(b_ref)
+        sec = measure_chained(
+            lambda k: float(ndlt_df64_chained(sq, tq, k))
+        )
+        row = {
+            "solver": "ndlt", "b": m_soa * 128, "ref_b": b_ref,
+            "df64_xla_us": round(sec * 1e6, 2),
+            "ref_cuda_fp64_us": ref,
+            "speedup_vs_ref": round(ref / (sec * 1e6), 2) if ref else None,
+        }
+        rows.append(row)
+        print(row, flush=True)
     result = {
         "config": {"device_kind": dev.device_kind,
                    "note": "df64 (double-fp32) ACA/SKS vs reference CUDA "
@@ -173,10 +230,15 @@ def run(out_path: str | None = None):
     return result
 
 
-if __name__ == "__main__":
+def main(argv=None):
+    """Console entry point (``sks-df64-table``)."""
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     run(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -387,7 +387,8 @@ def run_photo_suite(seed: int = 0, num_pairs: int = 8, num_frames: int = 12,
     return out
 
 
-if __name__ == "__main__":
+def main(argv=None):
+    """Console entry point (``sks-real-pipeline``)."""
     import argparse
 
     # The pipeline is feature-bound and parity/ATE are hardware-independent;
@@ -413,7 +414,7 @@ if __name__ == "__main__":
     ap.add_argument("--esm", action="store_true",
                     help="add the dense ESM polish column + ESM VO rows")
     ap.add_argument("--out", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     if args.photo_suite:
         summary = run_photo_suite(args.seed, args.pairs, args.frames,
@@ -431,3 +432,7 @@ if __name__ == "__main__":
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=1)
         print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

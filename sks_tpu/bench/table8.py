@@ -254,14 +254,15 @@ def to_markdown(rows) -> str:
     return "\n".join(lines)
 
 
-if __name__ == "__main__":
+def main(argv=None):
+    """Console entry point (``sks-table8``)."""
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
                     help="all 7 reference batch sizes (slower)")
     ap.add_argument("--out", default=None, help="JSON output path")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     backend = jax.default_backend()
     rows = run_table(full=args.full)
@@ -271,3 +272,7 @@ if __name__ == "__main__":
         with open(args.out, "w") as f:
             json.dump({"backend": backend, "rows": rows}, f, indent=1)
         print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -622,9 +622,14 @@ def ransac_homography_adaptive(
     says the hypotheses drawn so far find an all-inlier sample with
     probability >= ``confidence``:
 
-        k_needed = log(1 - confidence) / log(1 - w^4),   w = inlier ratio,
+        k_needed = log(1 - confidence) / log(1 - w^4),   w = inlier ratio.
 
-    capped at a total budget of ``config.num_hypotheses * max_chunks``.
+    The total draw is bounded by the stage schedule built from a budget of
+    ``config.num_hypotheses * max_chunks`` hypotheses: the final stage
+    absorbs the remainder at the grown chunk size, so the worst case rounds
+    that budget UP to a stage boundary (e.g. 1024 x 16 schedules 26,624,
+    ~1.6x — see ``_chunk_schedule``); the bound-met exit makes the typical
+    draw far smaller.
 
     **Geometric chunk growth** (VERDICT r3 item 7): chunk sizes start at
     ``config.num_hypotheses`` and grow ``growth``x every

@@ -150,8 +150,12 @@ def optimize_posegraph_dense(
     per-invoke time at T = 16).  For K up to a few hundred nodes the dense
     path replaces that with ``jax.jacfwd`` (ALL tangents in one batched
     forward pass) and a Cholesky-sized direct solve — exact normal-equation
-    steps, no sequential chain.  Same math at CG convergence; preferred
-    single-device default for small T (``slam.odometry`` switches on K).
+    steps, no sequential chain.  Same math at CG convergence — validated
+    against the CG path in tests/test_slam.py.  NOT currently wired as a
+    default: measured *slower* than CG on real TPU hardware at the capstone
+    T (the jacfwd batch materializes the full dense Jacobian), so
+    ``slam.odometry`` keeps CG unconditionally and this stays a debug/
+    validation alternative (ADVICE r4).
     """
     k = graph.poses.shape[0]
 

@@ -139,7 +139,7 @@ def test_gn_refine_respects_zero_weights(key):
     src = jax.random.uniform(k2, (64, 2), jnp.float32) * 500.0 + 50.0
     tar = apply_homography(h_true, src)
     # Corrupt 16 points wildly; give them weight 0.
-    tar = tar.at[:16].add(jax.random.normal(k3, (16, 2)) * 200.0)
+    tar = tar.at[:16].add(jax.random.normal(k3, (16, 2), jnp.float32) * 200.0)
     w = jnp.where(jnp.arange(64) < 16, 0.0, 1.0)
     h0 = _perturbed(h_true, jax.random.fold_in(key, 5))
     h = gn_refine_h(h0, src, tar, w)
