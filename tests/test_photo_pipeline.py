@@ -111,3 +111,26 @@ def test_photo_pair_recovers_gt():
     d = apply_homography(h, pts) - apply_homography(h_true, pts)
     err = float(jnp.median(jnp.linalg.norm(d, axis=-1)))
     assert err < 1.5, err
+
+
+@pytest.mark.slow
+def test_parallax_protocol_gate():
+    """Parallax regression gate (VERDICT r4 item 8a): off-plane structured
+    outliers must NEVER leak into the inlier set, and overall corner error
+    stays at-or-below cv2's on the same matches (PARALLAX.json pinned)."""
+    cv2 = pytest.importorskip("cv2")
+    from sks_tpu.bench.real_pipeline import pair_parity
+
+    rows = pair_parity(0, 3, shape=(480, 640), texture="photo",
+                       protocol="parallax")
+    scored = [r for r in rows if "skipped" not in r]
+    assert len(scored) >= 2
+    for r in scored:
+        # Zero off-plane inlier leak — the planar fit must reject every
+        # match on the off-plane boxes (the round-4 headline).
+        assert r["offplane_inlier_leak_ours"] == 0, r
+        assert r["offplane_match_frac"] > 0.02, r  # protocol is non-trivial
+    mean_ours = np.mean([r["corner_err_ours_px"] for r in scored])
+    mean_cv2 = np.mean([r["corner_err_cv2_px"] for r in scored])
+    # Overall at-or-below cv2 (small slack for the 3-pair gate sample).
+    assert mean_ours <= 1.2 * mean_cv2, (mean_ours, mean_cv2)
