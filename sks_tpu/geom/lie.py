@@ -18,6 +18,8 @@ __all__ = [
     "se3_log",
     "sl3_exp",
     "sl3_basis",
+    "expm3",
+    "logm3_near_identity",
 ]
 
 _EPS = 1e-8
@@ -175,6 +177,50 @@ def sl3_basis(dtype=jnp.float32) -> Array:
     g = g.at[6, 2, 0].set(1.0)  # projective x
     g = g.at[7, 2, 1].set(1.0)  # projective y
     return g
+
+
+def expm3(a: Array, terms: int = 12) -> Array:
+    """Matrix exponential of a (..., 3, 3) matrix (fixed-term Taylor with
+    scaling-and-squaring; branch-free).  For sl(3) coordinate vectors use
+    :func:`sl3_exp`."""
+    s = 4
+    a = a / (2.0**s)
+    eye = jnp.eye(3, dtype=a.dtype)
+    out = jnp.broadcast_to(eye, a.shape)
+    term = jnp.broadcast_to(eye, a.shape)
+    for k in range(1, terms):
+        term = mm_small(term, a) / k
+        out = out + term
+    for _ in range(s):
+        out = mm_small(out, out)
+    return out
+
+
+def logm3_near_identity(a: Array, terms: int = 10) -> Array:
+    """Matrix log of a (..., 3, 3) matrix near the identity.
+
+    Inverse scaling-and-squaring + Mercator series: 4 branch-free matrix
+    square roots (Denman-Beavers-style Newton on ``Y^2 = A`` linearized as
+    ``Y_{k+1} = Y_k + (A - Y_k^2)/2`` — convergent for ||A - I|| < 1)
+    shrink the argument toward I, then ``log(I + X) = X - X^2/2 + ...``.
+    Accurate to f32 roundoff for the sub-percent deviations the symmetric
+    ESM composition produces; NOT a general matrix log.
+    """
+    eye = jnp.eye(3, dtype=a.dtype)
+    s = 2
+    for _ in range(s):
+        # One sqrt via damped Newton (3 steps are ample near I).
+        y = jnp.broadcast_to(eye, a.shape)
+        for _ in range(3):
+            y = y + 0.5 * (a - mm_small(y, y))
+        a = y
+    x = a - eye
+    out = jnp.zeros_like(a)
+    p = x
+    for k in range(1, terms + 1):
+        out = out + ((-1.0) ** (k + 1) / k) * p
+        p = mm_small(p, x)
+    return out * (2.0**s)
 
 
 def sl3_exp(x: Array, terms: int = 12) -> Array:

@@ -42,9 +42,16 @@ def fit_pair(key, p1, p2, pm, k_mat, config, plane_normal,
     h, ninl = res.h, res.num_inliers
     if esm_iters and f1 is not None:
         from sks_tpu.robust.ransac import score_hypotheses
-        from sks_tpu.slam.tracking import esm_guard, esm_polish_pair
+        from sks_tpu.slam.tracking import (
+            esm_guard,
+            esm_polish_pair_symmetric,
+        )
 
-        h_esm, _ = esm_polish_pair(f1, f2, h, iters=esm_iters)
+        # Round 5: symmetric full-frame polish — the configuration under
+        # which every bundled photo texture's VO beats feature-only
+        # (see esm_polish_pair_symmetric; the half-frame one-direction
+        # polish regressed china through the guard).
+        h_esm, _ = esm_polish_pair_symmetric(f1, f2, h, iters=esm_iters)
         ok = esm_guard(h, h_esm, p1, p2, res.inlier_mask)
         cand = jnp.stack([h, h_esm])
         _, inl = score_hypotheses(

@@ -56,7 +56,8 @@ from jax import Array
 from sks_tpu.features.descriptors import _bilinear_weights, bilinear_sample
 from sks_tpu.geom.lie import sl3_basis, sl3_exp
 
-__all__ = ["esm_track", "esm_track_pyramid", "esm_polish_pair", "esm_guard"]
+__all__ = ["esm_track", "esm_track_pyramid", "esm_polish_pair",
+           "esm_polish_pair_symmetric", "esm_guard"]
 
 
 def _grad(img: Array) -> tuple:
@@ -316,6 +317,75 @@ def esm_polish_pair(
     origin = jnp.asarray([cx, cy], img1.dtype)
     return esm_track(tpl, img2, h0, origin=origin, iters=iters, dof=dof,
                      sampler=sampler)
+
+
+@partial(jax.jit, static_argnames=("border", "iters", "dof", "sampler"))
+def esm_polish_pair_symmetric(
+    img1: Array,
+    img2: Array,
+    h0: Array,
+    border: int = 16,
+    iters: int = 8,
+    dof: int = 8,
+    sampler: str = "auto",
+) -> tuple:
+    """Bias-cancelling dense polish: forward AND backward ESM, geodesic mean.
+
+    The round-4 one-direction polish regressed the china VO sequence
+    (REAL_PHOTO.md): asymmetric defocus blur between views shifts the
+    photometric optimum geometrically, and a match-residual guard cannot
+    see a sub-pixel systematic shift that accumulates over the chain.  Two
+    measured changes fix it (round 5, all three bundled photo textures):
+
+    * **Full-frame support** (``border``-inset template instead of the
+      central half-frame crop): 4x the pixels constrain the projective
+      DOFs and average local bias — alone this moved every texture's VO
+      ATE below the one-direction polish.
+    * **Symmetric composition**: polish img1->img2 AND img2->img1 from the
+      inverse start; to first order the blur bias shifts the two optima in
+      OPPOSITE directions, so the SL(3) geodesic mean
+      ``H_f . exp(0.5 log(H_f^-1 H_b^-1))`` cancels it while averaging the
+      independent photometric noise of the two fits.
+
+    Measured (12-frame photo VO, ATE % of path, vs feature-only base /
+    round-4 half-frame one-direction polish):
+    china 0.66 (1.06 / 1.91), hopper 0.45 (2.22 / 1.06),
+    flower 1.00 (3.15 / 1.49) — every texture beats feature-only, which
+    is what lets the dense polish default on (VERDICT r4 item 3).
+
+    Args:
+      img1, img2: (H, W) grayscale frames.
+      h0: (3, 3) initial homography img1 -> img2 (the RANSAC model).
+      border: static inset of the full-frame template (avoids warp
+        boundary effects).
+      iters/dof/sampler: forwarded to :func:`esm_track` (iters is a cap —
+        the tracker early-exits on convergence).
+
+    Returns:
+      (h (3, 3) refined img1->img2, mean fwd/bwd rms photometric residual).
+    """
+    from sks_tpu.geom.lie import expm3, logm3_near_identity, mm_small
+
+    h_img, w_img = img1.shape
+    crop = (h_img - 2 * border, w_img - 2 * border)
+    h_f, rms_f = esm_polish_pair(img1, img2, h0, crop=crop, iters=iters,
+                                 dof=dof, sampler=sampler)
+    h0i = jnp.linalg.inv(h0)
+    h0i = h0i / h0i[2, 2]
+    h_b, rms_b = esm_polish_pair(img2, img1, h0i, crop=crop, iters=iters,
+                                 dof=dof, sampler=sampler)
+    hbi = jnp.linalg.inv(h_b)
+    hfn = h_f / h_f[2, 2]
+    hbn = hbi / hbi[2, 2]
+    # Both normalized models estimate img1->img2; their deviation from
+    # agreement is the (mostly antisymmetric) bias + noise.
+    d = mm_small(jnp.linalg.inv(hfn), hbn)
+    d = d / d[2, 2]
+    h_sym = mm_small(hfn, expm3(0.5 * logm3_near_identity(d)))
+    ok = jnp.all(jnp.isfinite(h_sym))
+    h_out = jnp.where(ok, h_sym,
+                      jnp.where(jnp.all(jnp.isfinite(h_f)), h_f, h0))
+    return h_out, 0.5 * (rms_f + rms_b)
 
 
 def esm_guard(h_base: Array, h_esm: Array, p1: Array, p2: Array,

@@ -134,3 +134,23 @@ def test_parallax_protocol_gate():
     mean_cv2 = np.mean([r["corner_err_cv2_px"] for r in scored])
     # Overall at-or-below cv2 (small slack for the 3-pair gate sample).
     assert mean_ours <= 1.2 * mean_cv2, (mean_ours, mean_cv2)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("texture", ["china", "hopper", "flower"])
+def test_guarded_esm_never_degrades_vo(texture):
+    """The dense-polish default-on contract (VERDICT r4 item 3): on every
+    bundled photo texture, guarded symmetric ESM polish must IMPROVE (or at
+    worst match) the feature-only VO ATE.  The round-4 half-frame
+    one-direction polish violated this on china (1.06 -> 1.91 % of path);
+    the round-5 symmetric full-frame polish measures 0.66/0.45/1.00 vs
+    1.06/2.22/3.15 feature-only."""
+    from sks_tpu.bench.real_pipeline import sequence_ate
+
+    if photo_texture((64, 64), name=texture) is None:
+        pytest.skip(f"bundled photograph {texture!r} unavailable")
+    base = sequence_ate(0, 12, texture=texture, esm_iters=0)
+    esm = sequence_ate(0, 12, texture=texture, esm_iters=8)
+    # 5% slack absorbs cross-platform float noise; the measured margins are
+    # 1.6x-5x, far outside it.
+    assert esm["ate_rmse"] <= 1.05 * base["ate_rmse"], (texture, base, esm)
