@@ -66,7 +66,7 @@ def df64_aos_chained(src, tar, k, *, name: str):
 
 
 @partial(jax.jit, static_argnames=("name", "tile"))
-def df64_pallas_chained(s, t, k, *, name: str, tile: int = 16):
+def df64_pallas_chained(s, t, k, *, name: str, tile: int | None = None):
     """K chained Pallas df64 solves (kernels/df64_pallas) — VMEM-resident
     chain; both hi and lo words carried (no DCE)."""
     from sks_tpu.kernels.df64_pallas import df64_solve_soa
@@ -79,6 +79,28 @@ def df64_pallas_chained(s, t, k, *, name: str, tile: int = 16):
 
     out = jax.lax.fori_loop(0, k, body, jnp.zeros((18, m, 128), s.dtype))
     return jnp.sum(out[8]) + jnp.sum(out[17])
+
+
+def ndlt_df64_accuracy(batch: int = 2048):
+    """Pallas df64 NDLT vs the XLA df64 path: identical chain, residuals."""
+    from sks_tpu.kernels.aca_pallas import to_soa
+    from sks_tpu.kernels.df64_pallas import df64_solve_soa
+    from sks_tpu.ops.df64 import ndlt_df64_h
+
+    key = jax.random.PRNGKey(5)
+    src, tar, _ = random_correspondences(key, (batch,), 4, 0.0, jnp.float32)
+    out = df64_solve_soa(to_soa(src), to_soa(tar), kind="ndlt")
+    m = batch // 128
+    hi = out[:9].reshape(9, m * 128).T.reshape(batch, 3, 3)
+    lo = out[9:].reshape(9, m * 128).T.reshape(batch, 3, 3)
+    h_pl = DF(hi, lo)
+    r_pl = jnp.sqrt(jnp.max(residual2_df64(h_pl, src, tar)))
+    h_x = ndlt_df64_h(src, tar)  # residual is scale-invariant; no normalize
+    r_x = jnp.sqrt(jnp.max(residual2_df64(h_x, src, tar)))
+    return {
+        "max_reproj_px_pallas": float(r_pl),
+        "max_reproj_px_xla": float(r_x),
+    }
 
 
 @partial(jax.jit, static_argnames=("name",))
@@ -205,23 +227,32 @@ def run(out_path: str | None = None):
         # best-optimized baseline — the first candidate to beat native
         # fp64 hardware at fp64-grade precision.
         ref = REFERENCE_TABLE8_US["ndlt"].get(b_ref)
-        sec = measure_chained(
-            lambda k: float(ndlt_df64_chained(sq, tq, k))
+        sec_pl = measure_chained(
+            lambda k: float(df64_pallas_chained(s, t, k, name="ndlt"))
         )
         row = {
             "solver": "ndlt", "b": m_soa * 128, "ref_b": b_ref,
-            "df64_xla_us": round(sec * 1e6, 2),
+            "df64_pallas_us": round(sec_pl * 1e6, 2),
             "ref_cuda_fp64_us": ref,
-            "speedup_vs_ref": round(ref / (sec * 1e6), 2) if ref else None,
+            "speedup_vs_ref": round(ref / (sec_pl * 1e6), 2) if ref else None,
         }
+        if b_ref == 100_000:
+            # The XLA df64 NDLT row, measured once for the record: ~100x
+            # off the Pallas kernel (the ~27K-op df64 chain shatters XLA
+            # fusion; every intermediate round-trips HBM).
+            sec_x = measure_chained(
+                lambda k: float(ndlt_df64_chained(sq, tq, k))
+            )
+            row["df64_xla_us"] = round(sec_x * 1e6, 2)
         rows.append(row)
         print(row, flush=True)
     result = {
         "config": {"device_kind": dev.device_kind,
-                   "note": "df64 (double-fp32) ACA/SKS vs reference CUDA "
-                           "fp64 Table 8; chained two-point-K timing"},
+                   "note": "df64 (double-fp32) ACA/SKS/NDLT vs reference "
+                           "CUDA fp64 Table 8; chained two-point-K timing"},
         "rows": rows,
         "accuracy": accuracy_check(),
+        "ndlt_df64_accuracy": ndlt_df64_accuracy(),
     }
     if out_path:
         with open(out_path, "w") as f:

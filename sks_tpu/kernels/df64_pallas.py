@@ -36,10 +36,24 @@ from sks_tpu.ops.sks import sks_core
 __all__ = ["df64_solve_soa", "DF64_SOLVER_FLOPS"]
 
 #: Approximate flops per hypothesis for the cost model: each df64 op is an
-#: error-free transformation of ~10-20 f32 flops over the ~100-160-op cores.
-DF64_SOLVER_FLOPS = {"aca": 2_000, "sks": 3_500}
+#: error-free transformation of ~10-20 f32 flops over the cores
+#: (~100-160 ops for ACA/SKS; ~27K for the NDLT normal-matrix + Jacobi).
+DF64_SOLVER_FLOPS = {"aca": 2_000, "sks": 3_500, "ndlt": 400_000}
 
 _CORES = {"aca": aca_core, "sks": sks_core}
+
+
+def _ndlt_core_df(*args):
+    from sks_tpu.ops.ndlt import ndlt_core
+
+    return ndlt_core(*args, sweeps=8, jacobi_unroll=True)
+
+
+_CORES["ndlt"] = _ndlt_core_df
+
+#: Per-kind default sublane tile: the df64 NDLT chain holds the (9, 9)
+#: df64 normal matrix plus rotation temporaries live, so its tile is small.
+_DEFAULT_TILE = {"aca": 16, "sks": 16, "ndlt": 8}
 
 
 def _make_kernel(core):
@@ -63,15 +77,17 @@ def _make_kernel(core):
 
 @functools.partial(jax.jit, static_argnames=("kind", "tile"))
 def df64_solve_soa(src: Array, tar: Array, chain: Array | None = None,
-                   kind: str = "aca", tile: int = 16) -> Array:
+                   kind: str = "aca", tile: int | None = None) -> Array:
     """Batched df64 homography solve on SoA inputs, one VMEM-resident kernel.
 
     Args:
       src, tar: (8, M, 128) component-major minimal sets (f32).
       chain: optional f32 scalar serialization hook (None -> 0).
-      kind: 'aca' or 'sks'.
-      tile: sublane tile; the df64 chain keeps ~200 live (tile, 128) f32
-        temporaries, so the default is smaller than the f32 kernels'.
+      kind: 'aca', 'sks', or 'ndlt' (block-structured normal matrix +
+        lane-parallel 9x9 Jacobi, all in df64 — the full 4-pt NDLT).
+      tile: sublane tile; the df64 chains keep hundreds of live
+        (tile, 128) f32 temporaries, so defaults are smaller than the f32
+        kernels' (see ``_DEFAULT_TILE``).
 
     Returns:
       (18, M, 128): rows 0..8 the `hi` words, 9..17 the `lo` words of the
@@ -79,6 +95,8 @@ def df64_solve_soa(src: Array, tar: Array, chain: Array | None = None,
     """
     kernel = _make_kernel(_CORES[kind])
     _, m, _ = src.shape
+    if tile is None:
+        tile = _DEFAULT_TILE[kind]
     tile = min(tile, m)
     assert m % tile == 0, (m, tile)
     if chain is None:

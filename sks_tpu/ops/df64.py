@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -316,6 +317,75 @@ def df_sqrt(x: DF) -> DF:
     s = DF(s0g, jnp.zeros_like(s0g))
     s = 0.5 * (s + x / s)
     return df_where(safe, s, DF(s0, jnp.zeros_like(s0)))
+
+
+def jacobi_smallest_col_df_unrolled(a, sweeps: int = 8):
+    """Static-pair unrolled DF Jacobi — the Pallas-kernel form.
+
+    :func:`jacobi_smallest_col_df` scans one rotation body over a
+    (sweeps*36, 2) index schedule, which keeps the XLA graph small but
+    needs dynamic row/column gathers — Mosaic rejects the captured
+    schedule constant and the traced-index loads.  This twin mirrors
+    :func:`sks_tpu.ops.linalg.jacobi_smallest_col_core` instead: every
+    (p, q) rotation is unrolled at trace time over static indices, the
+    sweep loop is a ``fori_loop`` whose carry is the flattened (hi, lo)
+    component tuple, and every op is elementwise DF arithmetic — exactly
+    what a VMEM tile kernel wants.  Same math, same results to df64
+    rounding.
+    """
+    n = len(a)
+    base = a[0][0].hi
+    one = DF(jnp.ones_like(base), jnp.zeros_like(base))
+    zero = DF(jnp.zeros_like(base), jnp.zeros_like(base))
+    v = [[one if i == j else zero for j in range(n)] for i in range(n)]
+    tiny = float(jnp.finfo(base.dtype).tiny)
+
+    def flat(m):
+        out = []
+        for i in range(n):
+            for j in range(n):
+                out.extend((m[i][j].hi, m[i][j].lo))
+        return tuple(out)
+
+    def unflat(t):
+        return [[DF(t[2 * (i * n + j)], t[2 * (i * n + j) + 1])
+                 for j in range(n)] for i in range(n)]
+
+    def sweep(_, carry):
+        a_ = unflat(carry[0])
+        v_ = unflat(carry[1])
+        for p in range(n):
+            for q in range(p + 1, n):
+                app, aqq, apq = a_[p][p], a_[q][q], a_[p][q]
+                tau = (aqq - app) * 0.5
+                sgn = jnp.where(tau.hi >= 0, 1.0, -1.0).astype(base.dtype)
+                hyp = df_sqrt(tau * tau + apq * apq + tiny)
+                t = (sgn * apq) / (sgn * tau + hyp)
+                c = 1.0 / df_sqrt(t * t + 1.0)
+                s_ = t * c
+                for j in range(n):
+                    rp, rq = a_[p][j], a_[q][j]
+                    a_[p][j] = c * rp - s_ * rq
+                    a_[q][j] = s_ * rp + c * rq
+                for i in range(n):
+                    cp, cq = a_[i][p], a_[i][q]
+                    a_[i][p] = c * cp - s_ * cq
+                    a_[i][q] = s_ * cp + c * cq
+                    vp, vq = v_[i][p], v_[i][q]
+                    v_[i][p] = c * vp - s_ * vq
+                    v_[i][q] = s_ * vp + c * vq
+        return (flat(a_), flat(v_))
+
+    a_f, v_f = jax.lax.fori_loop(0, sweeps, sweep, (flat(a), flat(v)))
+    a_ = unflat(a_f)
+    v_ = unflat(v_f)
+    best_w = a_[0][0]
+    best = [v_[i][0] for i in range(n)]
+    for j in range(1, n):
+        take = (a_[j][j].hi + a_[j][j].lo) < (best_w.hi + best_w.lo)
+        best_w = df_where(take, a_[j][j], best_w)
+        best = [df_where(take, v_[i][j], best[i]) for i in range(n)]
+    return tuple(best)
 
 
 def jacobi_smallest_col_df(a, sweeps: int = 8):

@@ -28,6 +28,7 @@ def ndlt_core(
     x0, y0, x1, y1, x2, y2, x3, y3,
     X0, Y0, X1, Y1, X2, Y2, X3, Y3,
     sweeps: int = 6,
+    jacobi_unroll: bool = False,
 ):
     """Straight-line minimal-set (N=4) NDLT on components.
 
@@ -130,7 +131,14 @@ def ndlt_core(
     ]
 
     if is_df:
-        h = jacobi_smallest_col_df(ltl, sweeps=sweeps)
+        if jacobi_unroll:
+            # Pallas-kernel form: static-pair unrolled rotations (Mosaic
+            # rejects the scan form's index schedule + dynamic gathers).
+            from sks_tpu.ops.df64 import jacobi_smallest_col_df_unrolled
+
+            h = jacobi_smallest_col_df_unrolled(ltl, sweeps=sweeps)
+        else:
+            h = jacobi_smallest_col_df(ltl, sweeps=sweeps)
     else:
         h = jacobi_smallest_col_core(ltl, sweeps=sweeps)
 
