@@ -74,20 +74,37 @@ def main():
             sec = chained_step_seconds(aca_xla_chained, s, t, k1=20, k2=100)
         return batch / sec
 
-    def measure_fully_streamed(batch, rotate=3, k1=20, k2=100):
-        """Rotating distinct input/output buffers: working set R*(64+36) MB
-        >> VMEM, so BOTH directions must traverse HBM every step — the
-        physically-consistent full-round-trip bandwidth (VERDICT r3 item 8;
-        the fixed-buffer B=2M row only streams inputs)."""
-        from sks_tpu.bench.chained import aca_pallas_chained_rotating
+    def measure_fully_streamed(batch, k1=20, k2=100, dtype=jnp.float32):
+        """One kernel over a ~5x-VMEM batch (B=6M, 600 MB working set):
+        BOTH directions must traverse HBM — the physically-consistent
+        full-round-trip bandwidth (the fixed-buffer B=2M row only streams
+        inputs; at B=3M the implied full-RT still exceeded the HBM spec,
+        i.e. partial VMEM residency persisted).
 
-        sets = [make_soa(batch, seed=i + 1) for i in range(rotate)]
-        s_all = jnp.stack([s for s, _ in sets])
-        t_all = jnp.stack([t for _, t in sets])
-        jax.block_until_ready((s_all, t_all))
-        sec = chained_step_seconds(
-            aca_pallas_chained_rotating, s_all, t_all, k1=k1, k2=k2
-        )
+        Round 5: ONE pallas grid over the whole batch instead of the
+        round-4 rotating fori_loop of separate kernels — the grid pipeline
+        double-buffers block DMAs automatically, overlapping reads, writes,
+        and compute, where the rotating chain's cross-step buffer
+        dependencies serialized reads against the previous step's writes
+        (TABLE8.md's round-4 diagnosis).  Measured at B=6M:
+        4.05e9 -> 6.96e9 H/s, 49% -> 85% of the 819 GB/s spec full-RT.
+        ``dtype=bfloat16`` stores hypotheses at half the bytes (compute
+        stays f32 in-kernel) — 13.6e9 H/s, 2.0x the f32 row at the same
+        83% bandwidth fraction: the regime where bf16's 2x prediction
+        actually applies.
+        """
+        # Generate in 1M chunks: random_quad_pairs runs a batched 3x3
+        # inverse whose triangular_solve pads (B, 3, 3) 57x at B=3M (XLA
+        # HBM OOM); the chunks concatenate along the SoA tile axis.
+        chunk = 1 << 20
+        parts = [make_soa(chunk, seed=i + 1) for i in range(batch // chunk)]
+        s = jnp.concatenate([p[0] for p in parts], axis=1)
+        t = jnp.concatenate([p[1] for p in parts], axis=1)
+        if dtype != jnp.float32:
+            s = jax.jit(lambda x: x.astype(dtype))(s)
+            t = jax.jit(lambda x: x.astype(dtype))(t)
+        jax.block_until_ready((s, t))
+        sec = chained_step_seconds(aca_pallas_chained, s, t, k1=k1, k2=k2)
         return batch / sec
 
     batch = 1 << 20
@@ -99,12 +116,20 @@ def main():
         hps_stream = measure(1 << 21, 100, 500) if on_tpu else None
     except Exception:
         hps_stream = None
-    # Fully-streamed regime: 3 rotating input sets + 3 output slots at B=1M
-    # = 300 MB working set >> 128 MB VMEM; reads AND writes hit HBM.
+    # Fully-streamed regime: one grid over B=6M = 600 MB working set
+    # >> VMEM; reads AND writes hit HBM, overlapped by the pallas
+    # block-DMA pipeline.
     try:
-        hps_fs = measure_fully_streamed(1 << 20) if on_tpu else None
+        hps_fs = measure_fully_streamed(6 << 20) if on_tpu else None
     except Exception:
         hps_fs = None
+    # bf16 hypothesis storage: half the bytes in the bandwidth-bound
+    # regime (compute stays f32 in-kernel).
+    try:
+        hps_fs_bf16 = (measure_fully_streamed(6 << 20, dtype=jnp.bfloat16)
+                       if on_tpu else None)
+    except Exception:
+        hps_fs_bf16 = None
     device_kind = jax.devices()[0].device_kind
     spec = HBM_SPEC_GBPS.get(device_kind)
     full_rt_bytes = bytes_per_hypothesis(4)  # 100 B: 16 in + 9 out floats
@@ -135,13 +160,22 @@ def main():
                 hps_stream * 16 * 4 / 1e9 / spec
             )
         if hps_fs:
-            out["hps_fully_streamed_rotating"] = hps_fs
+            out["hps_fully_streamed"] = hps_fs
             # Every step reads 64 B and writes 36 B per hypothesis via HBM.
             out["effective_gbps_fully_streamed_full_rt"] = (
                 hps_fs * full_rt_bytes / 1e9
             )
             out["roofline_fraction_fully_streamed"] = (
                 hps_fs * full_rt_bytes / 1e9 / spec
+            )
+        if hps_fs_bf16:
+            out["hps_fully_streamed_bf16"] = hps_fs_bf16
+            # bf16 storage: 16*2 B in + 9*2 B out per hypothesis.
+            out["effective_gbps_fully_streamed_bf16_full_rt"] = (
+                hps_fs_bf16 * full_rt_bytes / 2 / 1e9
+            )
+            out["roofline_fraction_fully_streamed_bf16"] = (
+                hps_fs_bf16 * full_rt_bytes / 2 / 1e9 / spec
             )
     print(json.dumps(out))
 

@@ -99,7 +99,8 @@ def measure_pipeline_fps(num_frames: int = 16, shape=(240, 320),
 
 def measure_capstone_fps(num_frames: int = 16, shape=(240, 320),
                          num_corners: int = 384, hypotheses: int = 1024,
-                         strides=(4, 8), k1: int = 2, k2: int = 8) -> dict:
+                         strides=(4, 8), k1: int = 2, k2: int = 8,
+                         esm_iters: int = 0) -> dict:
     """Pairs/s of the FULL planar_slam capstone (closures + pose graph).
 
     Unlike :func:`measure_pipeline_fps` (odometry chain only), this times
@@ -131,7 +132,8 @@ def measure_capstone_fps(num_frames: int = 16, shape=(240, 320),
             # Sub-roundoff frame nudge: see measure_pipeline_fps.
             k_step = jax.random.fold_in(key, (carry * 0.0).astype(jnp.int32))
             out = planar_slam(k_step, frames + carry * 1e-38, k_mat, config,
-                              num_corners=num_corners, strides=strides)
+                              num_corners=num_corners, strides=strides,
+                              esm_iters=esm_iters)
             return jnp.sum(out["poses"][:, :3, 3]) + carry * 1e-30
 
         return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, jnp.float32))
@@ -151,6 +153,7 @@ def measure_capstone_fps(num_frames: int = 16, shape=(240, 320),
     return {
         "metric": "capstone_pairs_per_sec_per_chip",
         "frames": num_frames,
+        "esm_iters": esm_iters,
         "closure_edges": n_closures,
         "total_pairs_per_invoke": total_pairs,
         "shape": list(shape),
@@ -172,13 +175,22 @@ def measure_all(num_frames: int = 16, shape=(240, 320),
     res = measure_pipeline_fps(num_frames, shape, num_corners, hypotheses)
     res["capstone"] = measure_capstone_fps(num_frames, shape, num_corners,
                                            hypotheses)
+    cap_esm = measure_capstone_fps(num_frames, shape, num_corners,
+                                   hypotheses, esm_iters=8)
+    res["capstone_esm_default"] = {
+        "esm_iters": 8,
+        "pairs_per_sec": cap_esm["pairs_per_sec"],
+        "note": "planar_slam's round-5 DEFAULT config: guarded symmetric "
+                "full-frame ESM polish on every pair (bf16 sampling)",
+    }
     esm = measure_pipeline_fps(num_frames, shape, num_corners, hypotheses,
                                esm_iters=8)
     res["with_esm_polish"] = {
         "esm_iters": 8,
         "pairs_per_sec": esm["pairs_per_sec_steady_state_frames_per_sec"],
-        "note": "frames_to_poses(esm_iters=8): per-pair guarded dense ESM "
-                "polish (matmul sampler) on top of the feature fit",
+        "note": "frames_to_poses(esm_iters=8): per-pair guarded symmetric "
+                "full-frame dense ESM polish (bf16 matmul sampling) on top "
+                "of the feature fit",
     }
     vga = measure_pipeline_fps(num_frames, (480, 640), num_corners,
                                hypotheses)

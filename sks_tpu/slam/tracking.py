@@ -143,22 +143,38 @@ def esm_track(
 
     igx, igy = _grad(image)
 
-    use_matmul = sampler == "matmul" or (
+    use_matmul = sampler in ("matmul", "matmul_bf16") or (
         sampler == "auto" and jax.default_backend() == "tpu"
     )
+    # bf16 SAMPLING matmuls (f32 accumulation): quantizes interpolation
+    # weights to 8 mantissa bits (~1/256-px sub-pixel resolution) and
+    # intensities to ~0.4% — noise the 8-parameter normal equations
+    # average over tens of thousands of pixels.  Measured on the photo VO
+    # protocol: ATE within noise of the f32 sampler on every texture at
+    # ~4x the matmul rate (the polish's dominant cost).
+    bf16 = sampler == "matmul_bf16"
+    mdt = jnp.bfloat16 if bf16 else dt
     ih, iw_ = image.shape
     if use_matmul:
         # (H, 3W) stack: one row-weight matmul interpolates all three images.
-        imgs_cat = jnp.concatenate([image, igx, igy], axis=1)
+        imgs_cat = jnp.concatenate([image, igx, igy], axis=1).astype(mdt)
+        image_s = image.astype(mdt)
+
+    def _dot_f32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=None if bf16 else "highest",
+            preferred_element_type=jnp.float32,
+        )
 
     def sample3(uv):
         """(iw, gx_w, gy_w) warped image + gradient samples at (N, 2) uv."""
         if not use_matmul:
             return (bilinear_sample(image, uv), bilinear_sample(igx, uv),
                     bilinear_sample(igy, uv))
-        wy = _bilinear_weights(uv[:, 1], ih, dt)  # (N, H)
+        wy = _bilinear_weights(uv[:, 1], ih, mdt)  # (N, H)
         wx = _bilinear_weights(uv[:, 0], iw_, dt)  # (N, W)
-        rows = jax.lax.dot(wy, imgs_cat, precision="highest")  # (N, 3W)
+        rows = _dot_f32(wy, imgs_cat)  # (N, 3W) f32
         r3 = rows.reshape(rows.shape[0], 3, iw_)
         out = jnp.einsum("nkw,nw->kn", r3, wx, precision="highest")
         return out[0], out[1], out[2]
@@ -167,9 +183,9 @@ def esm_track(
         """Warped image only (the accept/reject cost probe)."""
         if not use_matmul:
             return bilinear_sample(image, uv)
-        wy = _bilinear_weights(uv[:, 1], ih, dt)
+        wy = _bilinear_weights(uv[:, 1], ih, mdt)
         wx = _bilinear_weights(uv[:, 0], iw_, dt)
-        rows = jax.lax.dot(wy, image, precision="highest")  # (N, W)
+        rows = _dot_f32(wy, image_s)  # (N, W) f32
         return jnp.sum(rows * wx, axis=-1)
 
     def gain_bias(iw, valid):
@@ -359,13 +375,21 @@ def esm_polish_pair_symmetric(
       border: static inset of the full-frame template (avoids warp
         boundary effects).
       iters/dof/sampler: forwarded to :func:`esm_track` (iters is a cap —
-        the tracker early-exits on convergence).
+        the tracker early-exits on convergence).  ``sampler='auto'``
+        resolves to 'matmul_bf16' on TPU here (not plain 'matmul'): the
+        full-frame polish is bandwidth-bound in the sampling matmuls, and
+        the bf16-storage mode measures within noise of f32 on every photo
+        texture's VO ATE (china 0.69 vs 0.66, hopper 0.45 vs 0.45,
+        flower 1.05 vs 1.00 — all far below feature-only).
 
     Returns:
       (h (3, 3) refined img1->img2, mean fwd/bwd rms photometric residual).
     """
     from sks_tpu.geom.lie import expm3, logm3_near_identity, mm_small
 
+    if sampler == "auto":
+        sampler = ("matmul_bf16" if jax.default_backend() == "tpu"
+                   else "gather")
     h_img, w_img = img1.shape
     crop = (h_img - 2 * border, w_img - 2 * border)
     h_f, rms_f = esm_polish_pair(img1, img2, h0, crop=crop, iters=iters,

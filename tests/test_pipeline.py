@@ -63,7 +63,12 @@ def test_planar_slam_closes_the_loop(key):
 
     frames, poses_gt, k_mat = planar_sequence(key, 12, (240, 320), loop=True)
     config = RansacConfig(num_hypotheses=1024, threshold=2.0, refine_iters=2)
-    kw = dict(plane_depth=3.0, strides=(4, 6))
+    # esm_iters=0: this test exercises the loop-closure MECHANISM, which
+    # needs feature-only drift to correct — the round-5 default-on ESM
+    # polish leaves the raw chain at ~0.008 ATE, below the pose-graph
+    # relaxation's own noise floor (measured: smoothing then neither helps
+    # nor hurts materially).  The ESM default is covered below.
+    kw = dict(plane_depth=3.0, strides=(4, 6), esm_iters=0)
     raw = planar_slam(key, frames, k_mat, config, smooth=False, **kw)
     closed = planar_slam(key, frames, k_mat, config, smooth=True, **kw)
     ate_raw = float(ate_rmse(raw["poses"], poses_gt))
@@ -72,6 +77,11 @@ def test_planar_slam_closes_the_loop(key):
     # Strict improvement (round-4 front end halved raw drift; see
     # test_loop_closures_reduce_ate).
     assert ate_closed < 0.95 * ate_raw, (ate_raw, ate_closed)
+    # The default-on ESM capstone beats the feature-only raw chain.
+    esm = planar_slam(key, frames, k_mat, config, smooth=False,
+                      plane_depth=3.0, strides=(4, 6))
+    ate_esm = float(ate_rmse(esm["poses"], poses_gt))
+    assert ate_esm < ate_raw, (ate_raw, ate_esm)
     assert closed["closure_inliers"].shape[0] == len(
         [(i, i + k) for k in (4, 6) for i in range(12 - k)]
     )
