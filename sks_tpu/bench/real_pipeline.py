@@ -167,9 +167,15 @@ def pair_parity(seed: int, num_pairs: int = 8, shape=(480, 640),
                 (m_ours_fwd & offplane).sum())
             row["offplane_inlier_leak_cv2"] = int((m_cv_fwd & offplane).sum())
         if esm:
-            from sks_tpu.slam.tracking import esm_guard, esm_polish_pair
+            from sks_tpu.slam.tracking import (
+                esm_guard,
+                esm_polish_pair_symmetric,
+            )
 
-            h_esm, rms = esm_polish_pair(img1, img2, h_ours, iters=8)
+            # The production polish (round 5): symmetric full-frame — what
+            # fit_pair applies and what the VO rows measure.
+            h_esm, rms = esm_polish_pair_symmetric(img1, img2, h_ours,
+                                                   iters=8)
             ok = esm_guard(h_ours, h_esm, p1f, p2f, mask_padded)
             h_sel = jnp.where(ok, h_esm, h_ours)
             row["corner_err_esm_raw_px"] = _corner_err(h_esm, h_true, shape)
