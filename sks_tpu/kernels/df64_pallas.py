@@ -37,8 +37,9 @@ __all__ = ["df64_solve_soa", "DF64_SOLVER_FLOPS"]
 
 #: Approximate flops per hypothesis for the cost model: each df64 op is an
 #: error-free transformation of ~10-20 f32 flops over the cores
-#: (~100-160 ops for ACA/SKS; ~27K for the NDLT normal-matrix + Jacobi).
-DF64_SOLVER_FLOPS = {"aca": 2_000, "sks": 3_500, "ndlt": 400_000}
+#: (~100-160 ops for ACA/SKS; NDLT = f32 Jacobi seed + df64 normal-matrix
+#: build + LDL^T inverse iteration, ~40K f32 flops total).
+DF64_SOLVER_FLOPS = {"aca": 2_000, "sks": 3_500, "ndlt": 40_000}
 
 _CORES = {"aca": aca_core, "sks": sks_core}
 
@@ -46,14 +47,17 @@ _CORES = {"aca": aca_core, "sks": sks_core}
 def _ndlt_core_df(*args):
     from sks_tpu.ops.ndlt import ndlt_core
 
-    return ndlt_core(*args, sweeps=8, jacobi_unroll=True)
+    # df_eig='invit': f32 Jacobi seed + df64 LDL^T inverse iteration —
+    # ~1/40 the df64 ops of the 8-sweep df64 Jacobi this kernel ran before,
+    # same direction accuracy (tests/test_df64.py pins both paths vs f64).
+    return ndlt_core(*args, df_eig="invit")
 
 
 _CORES["ndlt"] = _ndlt_core_df
 
 #: Per-kind default sublane tile: the df64 NDLT chain holds the (9, 9)
-#: df64 normal matrix plus rotation temporaries live, so its tile is small.
-_DEFAULT_TILE = {"aca": 16, "sks": 16, "ndlt": 8}
+#: df64 normal matrix plus LDL^T factors live, so its tile is small.
+_DEFAULT_TILE = {"aca": 16, "sks": 16, "ndlt": 16}
 
 
 def _make_kernel(core):

@@ -480,22 +480,113 @@ def jacobi_smallest_col_df(a, sweeps: int = 8):
     return tuple(DF(vh_c[..., i], vl_c[..., i]) for i in range(n))
 
 
-def ndlt_df64_h(src: Array, tar: Array, sweeps: int = 8) -> DF:
+def invit_smallest_col_df(a, seed, shift_rel: float = 2.0 ** -40,
+                          solves: int = 2):
+    """Smallest eigenvector of a symmetric PSD DF matrix by shifted inverse
+    iteration: one unrolled df64 LDL^T factorization + ``solves`` chained
+    triangular solves.
+
+    The ~40x cheaper twin of :func:`jacobi_smallest_col_df` for the
+    *smallest-eigenvector-only* problem (which is all NDLT needs): the df64
+    Jacobi runs sweeps x 36 rotations of ~150 df64 ops each (~45K df64 ops
+    for 8 sweeps), while this runs one 9x9 LDL^T (~300 df64 multiply-adds,
+    36 divisions — no square roots, which is why LDL^T over Cholesky) plus
+    ``solves`` forward/diagonal/backward substitutions (~160 df64 ops each).
+
+    Why it is as accurate: ``A + eps*I`` with ``eps = shift_rel * trace``
+    is positive definite (A is a PSD normal matrix; the shift dominates the
+    df64 rounding floor of the computed lambda_min ~ u*||A||, u ~ 2^-49),
+    so the unpivoted LDL^T is stable.  Each solve amplifies the
+    smallest-eigenvalue component by ~lambda_2/eps >= 1e9 relative to the
+    rest; from an f32-grade seed (c_perp ~ 1e-7) one solve already puts the
+    contamination below df64 roundoff, and the classic inverse-iteration
+    result applies — the solve's backward error lands almost entirely
+    *along* the returned direction, so direction accuracy is
+    ~u*||A||/lambda_2, the same bound the converged Jacobi obeys.  The
+    second solve (sharing the factorization) removes any dependence on seed
+    quality short of exact orthogonality.
+
+    Between solves the iterate is rescaled by the exact power of two
+    ``shift_rel`` (lossless in fp32) so hi words stay in range despite the
+    ~1/eps per-solve growth.
+
+    Fully static/unrolled (no gathers, no scan): lowers under both XLA and
+    Mosaic, so the Pallas df64 NDLT kernel uses it directly.
+
+    Args:
+      a: n x n list-of-lists of :class:`DF` components (symmetric PSD).
+      seed: length-n list of DF components, a rough smallest-eigenvector
+        guess (e.g. a few f32 Jacobi sweeps); must not be orthogonal to it.
+      shift_rel: diagonal shift relative to trace(a).
+      solves: inverse-iteration steps re-using the one factorization.
+
+    Returns the eigenvector as a tuple of n DF components, up to scale.
+    """
+    n = len(a)
+    tr = a[0][0]
+    for i in range(1, n):
+        tr = tr + a[i][i]
+    eps = tr * shift_rel
+    # LDL^T of A + eps I.  W[i][j] = L[i][j] * d[j] halves the inner-sum
+    # multiplies (one product per term instead of two).
+    lmat = [[None] * n for _ in range(n)]
+    wmat = [[None] * n for _ in range(n)]
+    d = [None] * n
+    for j in range(n):
+        s = a[j][j] + eps
+        for k in range(j):
+            s = s - lmat[j][k] * wmat[j][k]
+        d[j] = s
+        for i in range(j + 1, n):
+            t = a[i][j]
+            for k in range(j):
+                t = t - lmat[i][k] * wmat[j][k]
+            wmat[i][j] = t
+            lmat[i][j] = t / s
+    x = list(seed)
+    scale = float(shift_rel)
+    for _ in range(solves):
+        y = []
+        for i in range(n):
+            yi = x[i]
+            for k in range(i):
+                yi = yi - lmat[i][k] * y[k]
+            y.append(yi)
+        z = [y[i] / d[i] for i in range(n)]
+        xn = [None] * n
+        for i in reversed(range(n)):
+            xi = z[i]
+            for k in range(i + 1, n):
+                xi = xi - lmat[k][i] * xn[k]
+            xn[i] = xi
+        x = [DF(v.hi * scale, v.lo * scale) for v in xn]
+    return tuple(x)
+
+
+def ndlt_df64_h(src: Array, tar: Array, sweeps: int = 8,
+                df_eig: str = "invit") -> DF:
     """Minimal-set (N=4) NDLT in df64: fp64-grade on fp32-only TPUs.
 
     Runs the identical block-structured chain as
     :func:`sks_tpu.ops.ndlt.ndlt_core` — Hartley normalization, the 24
-    weighted p p^T sums, the 9x9 Jacobi — entirely in double-word arithmetic.
-    This is the refine-grade NDLT that lets fp32 TPUs match the reference's
-    fp64 normal-matrix solve (``DLT.cpp:53-119``); the f32 path is
-    conditioning-limited at raw pixel scale (measured: ~1e3 px median on
-    wall-fixture minimal sets vs ~0.4 px for this).
+    weighted p p^T sums, the 9x9 smallest-eigenvector solve — entirely in
+    double-word arithmetic.  This is the refine-grade NDLT that lets fp32
+    TPUs match the reference's fp64 normal-matrix solve (``DLT.cpp:53-119``);
+    the f32 path is conditioning-limited at raw pixel scale (measured:
+    ~1e3 px median on wall-fixture minimal sets vs ~0.4 px for this).
+
+    ``df_eig='invit'`` (default) solves the eigenproblem by shifted inverse
+    iteration (:func:`invit_smallest_col_df` — f32 Jacobi seed + df64 LDL^T
+    + 2 solves, ~1/40 the df64 ops of the converged Jacobi at equal
+    direction accuracy); ``'jacobi'`` keeps the full df64 Jacobi
+    (``sweeps`` applies to that path only).
 
     Returns DF of (..., 3, 3), up to scale.
     """
     from sks_tpu.ops.ndlt import ndlt_core
 
-    h = ndlt_core(*_df_components(src), *_df_components(tar), sweeps=sweeps)
+    h = ndlt_core(*_df_components(src), *_df_components(tar), sweeps=sweeps,
+                  df_eig=df_eig)
     hi = jnp.stack([e.hi for e in h], axis=-1).reshape(*h[0].hi.shape, 3, 3)
     lo = jnp.stack([e.lo for e in h], axis=-1).reshape(*h[0].lo.shape, 3, 3)
     return DF(hi, lo)

@@ -29,6 +29,7 @@ def ndlt_core(
     X0, Y0, X1, Y1, X2, Y2, X3, Y3,
     sweeps: int = 6,
     jacobi_unroll: bool = False,
+    df_eig: str = "invit",
 ):
     """Straight-line minimal-set (N=4) NDLT on components.
 
@@ -131,7 +132,20 @@ def ndlt_core(
     ]
 
     if is_df:
-        if jacobi_unroll:
+        if df_eig == "invit":
+            # Shifted inverse iteration (df64 LDL^T + 2 solves) seeded by a
+            # few f32 Jacobi sweeps on the hi words: same direction accuracy
+            # as the converged df64 Jacobi at ~1/40 the df64 ops (measured
+            # equal on random + wall-scale quads; see tests/test_df64.py).
+            # Fully unrolled — lowers under Mosaic, so the Pallas df64 NDLT
+            # kernel takes this path too.
+            from sks_tpu.ops.df64 import df_lift, invit_smallest_col_df
+
+            ltl_hi = [[e.hi for e in row] for row in ltl]
+            seed = [df_lift(s)
+                    for s in jacobi_smallest_col_core(ltl_hi, sweeps=3)]
+            h = invit_smallest_col_df(ltl, seed)
+        elif jacobi_unroll:
             # Pallas-kernel form: static-pair unrolled rotations (Mosaic
             # rejects the scan form's index schedule + dynamic gathers).
             from sks_tpu.ops.df64 import jacobi_smallest_col_df_unrolled

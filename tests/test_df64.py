@@ -166,6 +166,38 @@ def test_ndlt_df64_fixture_grade(key):
     assert float(jnp.median(err)) < 1.0, float(jnp.median(err))
 
 
+def test_ndlt_df64_invit_matches_jacobi(key):
+    """The LDL^T inverse-iteration eigensolver (the ~40x cheaper default)
+    reaches the converged df64 Jacobi's direction accuracy on wall-scale
+    quads — the substitution that took the df64 NDLT Table-8 row from 0.45x
+    to >10x the reference's native fp64 (DF64_TABLE8.json)."""
+    import numpy as np
+
+    from sks_tpu.ops.df64 import df_to_f64, ndlt_df64_h
+
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(rng.uniform(0, 640, (256, 4, 2)), jnp.float32)
+    tar = jnp.asarray(rng.uniform(0, 640, (256, 4, 2)), jnp.float32)
+
+    def reproj(h):
+        h = np.asarray(h)
+        h = h / h[..., 2:3, 2:3]
+        s = np.concatenate([np.asarray(src, np.float64),
+                            np.ones((256, 4, 1))], -1)
+        p = np.einsum("bij,bkj->bki", h, s)
+        p = p[..., :2] / p[..., 2:3]
+        return np.abs(p - np.asarray(tar, np.float64)).max(axis=(1, 2))
+
+    r_inv = reproj(df_to_f64(jax.jit(
+        lambda s, t: ndlt_df64_h(s, t, df_eig="invit"))(src, tar)))
+    r_jac = reproj(df_to_f64(jax.jit(
+        lambda s, t: ndlt_df64_h(s, t, df_eig="jacobi"))(src, tar)))
+    # Both fp64-grade on the defining quad; invit no worse than Jacobi.
+    assert float(np.median(r_inv)) < 1e-8, float(np.median(r_inv))
+    assert float(np.median(r_inv)) <= 4.0 * float(np.median(r_jac)), (
+        float(np.median(r_inv)), float(np.median(r_jac)))
+
+
 @pytest.mark.slow
 def test_ransac_df64_scoring_smoke(key):
     """RansacConfig(df64_scoring=True) runs end-to-end and rejects outliers."""
