@@ -177,18 +177,20 @@ def accuracy_check(batch: int = 1024):
             "max_reproj_px_f32": float(r32),
             "max_reproj_px_df64": float(rdf),
         }
-    # NDLT df64 vs f32 (residuals scored in df64; up-to-scale H is fine —
+    # The four baselines (residuals scored in df64; up-to-scale H is fine —
     # the symmetric transfer divides out scale).
-    from sks_tpu.ops.df64 import ndlt_df64_h
+    from sks_tpu.ops.df64 import ge_df64_h, gpt_df64_h, ho_df64_h, ndlt_df64_h
 
-    h32 = SOLVERS["ndlt"](src, tar)
-    hdf = ndlt_df64_h(src, tar)
-    out["ndlt"] = {
-        "max_reproj_px_f32": float(
-            jnp.sqrt(jnp.max(residual2_df64(h32, src, tar)))),
-        "max_reproj_px_df64": float(
-            jnp.sqrt(jnp.max(residual2_df64(hdf, src, tar)))),
-    }
+    for name, dffn in (("ndlt", ndlt_df64_h), ("rho_ge", ge_df64_h),
+                       ("gpt_lu", gpt_df64_h), ("ho", ho_df64_h)):
+        h32 = SOLVERS[name](src, tar)
+        hdf = jax.jit(dffn)(src, tar)
+        out[name] = {
+            "max_reproj_px_f32": float(
+                jnp.sqrt(jnp.max(residual2_df64(h32, src, tar)))),
+            "max_reproj_px_df64": float(
+                jnp.sqrt(jnp.max(residual2_df64(hdf, src, tar)))),
+        }
     return out
 
 
@@ -222,34 +224,41 @@ def run(out_path: str | None = None):
             }
             rows.append(row)
             print(row, flush=True)
-        # NDLT df64 (VERDICT r4 item 5): the reference's fp64 DLT is its
-        # slowest kernel (151 ms at B=1M) while the repo's NDLT is its
-        # best-optimized baseline — the first candidate to beat native
-        # fp64 hardware at fp64-grade precision.
-        ref = REFERENCE_TABLE8_US["ndlt"].get(b_ref)
-        sec_pl = measure_chained(
-            lambda k: float(df64_pallas_chained(s, t, k, name="ndlt"))
-        )
-        row = {
-            "solver": "ndlt", "b": m_soa * 128, "ref_b": b_ref,
-            "df64_pallas_us": round(sec_pl * 1e6, 2),
-            "ref_cuda_fp64_us": ref,
-            "speedup_vs_ref": round(ref / (sec_pl * 1e6), 2) if ref else None,
-        }
-        if b_ref == 100_000:
-            # The XLA df64 NDLT row, measured once for the record: ~100x
-            # off the Pallas kernel (the ~27K-op df64 chain shatters XLA
-            # fusion; every intermediate round-trips HBM).
-            sec_x = measure_chained(
-                lambda k: float(ndlt_df64_chained(sq, tq, k))
+        # The four baseline solvers, Pallas only (the XLA df64 layouts of
+        # the long chains shatter fusion — the NDLT XLA row below records
+        # that once for the sweep).  The reference's fp64 GPT/HO/DLT are
+        # its slowest kernels (8.4/11.2/151 ms at B=1M), which is where
+        # df64's ~20x arithmetic tax is beatable by algorithm (unrolled
+        # branch-free elimination; LDL^T inverse iteration instead of
+        # iterative SVD).
+        for name in ("ge", "gpt", "ho", "ndlt"):
+            ref_key = {"ge": "rho_ge", "gpt": "gpt_lu"}.get(name, name)
+            ref = REFERENCE_TABLE8_US[ref_key].get(b_ref)
+            sec_pl = measure_chained(
+                lambda k: float(df64_pallas_chained(s, t, k, name=name))
             )
-            row["df64_xla_us"] = round(sec_x * 1e6, 2)
-        rows.append(row)
-        print(row, flush=True)
+            row = {
+                "solver": name, "b": m_soa * 128, "ref_b": b_ref,
+                "df64_pallas_us": round(sec_pl * 1e6, 2),
+                "ref_cuda_fp64_us": ref,
+                "speedup_vs_ref": round(ref / (sec_pl * 1e6), 2)
+                if ref else None,
+            }
+            if name == "ndlt" and b_ref == 100_000:
+                # The XLA df64 NDLT row, measured once for the record: the
+                # ~27K-op df64 chain shatters XLA fusion; every
+                # intermediate round-trips HBM.
+                sec_x = measure_chained(
+                    lambda k: float(ndlt_df64_chained(sq, tq, k))
+                )
+                row["df64_xla_us"] = round(sec_x * 1e6, 2)
+            rows.append(row)
+            print(row, flush=True)
     result = {
         "config": {"device_kind": dev.device_kind,
-                   "note": "df64 (double-fp32) ACA/SKS/NDLT vs reference "
-                           "CUDA fp64 Table 8; chained two-point-K timing"},
+                   "note": "df64 (double-fp32), all six solvers, vs "
+                           "reference CUDA fp64 Table 8; chained "
+                           "two-point-K timing"},
         "rows": rows,
         "accuracy": accuracy_check(),
         "ndlt_df64_accuracy": ndlt_df64_accuracy(),

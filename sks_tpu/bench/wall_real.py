@@ -67,11 +67,19 @@ def solver_accuracy(src, tar, batch: int = 4096, seed: int = 11) -> dict:
             "f32_p99_px": float(np.nanpercentile(r, 99)),
             "finite_frac": float(np.mean(np.isfinite(r))),
         }
-    # df64 twins (ACA / SKS / NDLT): compensated f32 pairs on TPU.
-    from sks_tpu.ops.df64 import aca_df64_h, ndlt_df64_h, sks_df64_h
+    # df64 twins, all six solvers: compensated f32 pairs on TPU.
+    from sks_tpu.ops.df64 import (
+        aca_df64_h,
+        ge_df64_h,
+        gpt_df64_h,
+        ho_df64_h,
+        ndlt_df64_h,
+        sks_df64_h,
+    )
 
     for name, fn in (("aca", aca_df64_h), ("sks", sks_df64_h),
-                     ("ndlt", ndlt_df64_h)):
+                     ("ndlt", ndlt_df64_h), ("rho_ge", ge_df64_h),
+                     ("gpt_lu", gpt_df64_h), ("ho", ho_df64_h)):
         hi, lo = jax.jit(fn)(s32, t32)
         # Recombine hi+lo in HOST f64 (TPU has no f64) and normalize there.
         h = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)

@@ -1,4 +1,5 @@
-"""Pallas df64 solver kernels: fp64-grade ACA/SKS with VMEM-resident chains.
+"""Pallas df64 solver kernels: fp64-grade solves with VMEM-resident chains
+for all six solvers (ACA, SKS, NDLT, GE, GPT, HO).
 
 The XLA df64 path (`bench/df64_table.py`, `df64_soa_chained`) runs the
 ~1,500-flop double-word ACA chain at only ~1 TFLOP/s — the long error-free
@@ -38,8 +39,11 @@ __all__ = ["df64_solve_soa", "DF64_SOLVER_FLOPS"]
 #: Approximate flops per hypothesis for the cost model: each df64 op is an
 #: error-free transformation of ~10-20 f32 flops over the cores
 #: (~100-160 ops for ACA/SKS; NDLT = f32 Jacobi seed + df64 normal-matrix
-#: build + LDL^T inverse iteration, ~40K f32 flops total).
-DF64_SOLVER_FLOPS = {"aca": 2_000, "sks": 3_500, "ndlt": 40_000}
+#: build + LDL^T inverse iteration, ~40K f32 flops total; GE a 250-op
+#: Cramer chain; GPT a pivoted 8x8 Gauss-Jordan; HO normalization +
+#: reduced 3x3 inverse iteration + back-substitution).
+DF64_SOLVER_FLOPS = {"aca": 2_000, "sks": 3_500, "ndlt": 40_000,
+                     "ge": 5_000, "gpt": 30_000, "ho": 20_000}
 
 _CORES = {"aca": aca_core, "sks": sks_core}
 
@@ -53,11 +57,36 @@ def _ndlt_core_df(*args):
     return ndlt_core(*args, df_eig="invit")
 
 
-_CORES["ndlt"] = _ndlt_core_df
+def _ge_core_df(*args):
+    from sks_tpu.ops.ge import ge_core
 
-#: Per-kind default sublane tile: the df64 NDLT chain holds the (9, 9)
-#: df64 normal matrix plus LDL^T factors live, so its tile is small.
-_DEFAULT_TILE = {"aca": 16, "sks": 16, "ndlt": 16}
+    return ge_core(*args)
+
+
+def _gpt_core_df(*args):
+    from sks_tpu.ops.gpt import gpt_core
+
+    return gpt_core(*args)
+
+
+def _ho_core_df(*args):
+    from sks_tpu.ops.ho import ho_core
+
+    # The DF branch solves the reduced 3x3 eigenproblem by LDL^T inverse
+    # iteration regardless of eig_method (no trig for Mosaic to reject).
+    return ho_core(*args)
+
+
+_CORES["ndlt"] = _ndlt_core_df
+_CORES["ge"] = _ge_core_df
+_CORES["gpt"] = _gpt_core_df
+_CORES["ho"] = _ho_core_df
+
+#: Per-kind default sublane tile: the long df64 chains (NDLT's 9x9 normal
+#: matrix + LDL^T factors, GPT's 8x9 tableau) hold many live (tile, 128)
+#: pairs, so their tiles are small.
+_DEFAULT_TILE = {"aca": 16, "sks": 16, "ndlt": 16, "ge": 16, "gpt": 8,
+                 "ho": 16}
 
 
 def _make_kernel(core):

@@ -59,6 +59,10 @@ __all__ = [
     "sks_df64_h",
     "sks_df64",
     "ndlt_df64_h",
+    "ge_df64_h",
+    "gpt_df64_h",
+    "ho_df64_h",
+    "invit_smallest_col_df",
     "residual2_df64",
     "df_sqrt",
     "df_where",
@@ -590,3 +594,41 @@ def ndlt_df64_h(src: Array, tar: Array, sweeps: int = 8,
     hi = jnp.stack([e.hi for e in h], axis=-1).reshape(*h[0].hi.shape, 3, 3)
     lo = jnp.stack([e.lo for e in h], axis=-1).reshape(*h[0].lo.shape, 3, 3)
     return DF(hi, lo)
+
+
+def _df64_h_from_core(core, src, tar, **kw) -> DF:
+    h = core(*_df_components(src), *_df_components(tar), **kw)
+    hi = jnp.stack([e.hi for e in h], axis=-1).reshape(*h[0].hi.shape, 3, 3)
+    lo = jnp.stack([e.lo for e in h], axis=-1).reshape(*h[0].lo.shape, 3, 3)
+    return DF(hi, lo)
+
+
+def ge_df64_h(src: Array, tar: Array) -> DF:
+    """RHO-GE in df64 (fp64 twin of ``cv::runKernel_GE``, fp32-only in the
+    reference ``GE.cpp:44-188`` but fp64 on its GPU, ``.cu:359-507``): the
+    identical dtype-polymorphic :func:`sks_tpu.ops.ge.ge_core` on DF pairs.
+    Returns DF of (..., 3, 3) with h22 == 1 by construction."""
+    from sks_tpu.ops.ge import ge_core
+
+    return _df64_h_from_core(ge_core, src, tar)
+
+
+def gpt_df64_h(src: Array, tar: Array) -> DF:
+    """GPT-LU in df64 (fp64 twin of the reference's per-thread pivoted LU,
+    ``GPU_Runtime Test.cu:242-357``): the branch-free pivoted Gauss-Jordan
+    :func:`sks_tpu.ops.gpt.gpt_core` on DF pairs (pivot selection compares
+    evaluated hi+lo magnitudes).  Returns DF of (..., 3, 3), h22 == 1."""
+    from sks_tpu.ops.gpt import gpt_core
+
+    return _df64_h_from_core(gpt_core, src, tar)
+
+
+def ho_df64_h(src: Array, tar: Array) -> DF:
+    """Harker-O'Leary in df64 (fp64 twin of ``cal_Homo_HO``,
+    ``GPU_Runtime Test.cu:788-1031``): :func:`sks_tpu.ops.ho.ho_core` on DF
+    pairs — df64 isotropic normalization (df_sqrt distances), the reduced
+    3x3 eigenproblem by LDL^T inverse iteration, df64 back-substitution.
+    Returns DF of (..., 3, 3), up to scale."""
+    from sks_tpu.ops.ho import ho_core
+
+    return _df64_h_from_core(ho_core, src, tar)

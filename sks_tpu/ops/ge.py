@@ -85,7 +85,15 @@ def ge_core(
     h10 = v0[0] + h7 * vx[0] + h8 * vy[0]
     h11 = v0[1] + h7 * vx[1] + h8 * vy[1]
     h12 = v0[2] + h7 * vx[2] + h8 * vy[2]
-    return h00, h01, h02, h10, h11, h12, h7, h8, jnp.ones_like(h7)
+    # h22 == 1 by construction; mirror the input component type so the chain
+    # is dtype-polymorphic down to DF double-word pairs (ops/df64.ge_df64_h).
+    from sks_tpu.ops.df64 import DF as _DF
+
+    if isinstance(h7, _DF):
+        one = _DF(jnp.ones_like(h7.hi), jnp.zeros_like(h7.hi))
+    else:
+        one = jnp.ones_like(h7)
+    return h00, h01, h02, h10, h11, h12, h7, h8, one
 
 
 def _components(pts: Array):

@@ -37,8 +37,28 @@ def gpt_core(
     ys = (y0, y1, y2, y3)
     Xs = (X0, X1, X2, X3)
     Ys = (Y0, Y1, Y2, Y3)
-    one = jnp.ones_like(x0)
-    zero = jnp.zeros_like(x0)
+    # DF (double-word) components run the identical elimination in df64:
+    # only the three non-arithmetic ops (constants, |pivot|, the swap
+    # select) need dispatch — everything else is +,-,*,/ which the DF
+    # operators provide (ops/df64.gpt_df64_h is the public entry).
+    from sks_tpu.ops.df64 import DF as _DF
+
+    if isinstance(x0, _DF):
+        from sks_tpu.ops.df64 import df_where
+
+        base = x0.hi
+        one = _DF(jnp.ones_like(base), jnp.zeros_like(base))
+        zero = _DF(jnp.zeros_like(base), jnp.zeros_like(base))
+
+        def _absval(v):
+            return jnp.abs(v.hi + v.lo)
+
+        _where = df_where
+    else:
+        one = jnp.ones_like(x0)
+        zero = jnp.zeros_like(x0)
+        _absval = jnp.abs
+        _where = jnp.where
 
     # Tableau rows [A | b]: x-constraints then y-constraints (see
     # build_gpt_system).
@@ -57,11 +77,11 @@ def gpt_core(
         # Columns < k are already eliminated (exact zeros), so swaps only need
         # columns k..8.
         for r in range(k + 1, 8):
-            swap = jnp.abs(t[r][k]) > jnp.abs(t[k][k])
+            swap = _absval(t[r][k]) > _absval(t[k][k])
             for c in range(k, 9):
                 a, b = t[k][c], t[r][c]
-                t[k][c] = jnp.where(swap, b, a)
-                t[r][c] = jnp.where(swap, a, b)
+                t[k][c] = _where(swap, b, a)
+                t[r][c] = _where(swap, a, b)
         inv = 1.0 / t[k][k]
         for c in range(k + 1, 9):
             t[k][c] = t[k][c] * inv

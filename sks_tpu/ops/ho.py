@@ -51,12 +51,36 @@ def ho_core(
 
     ``eig_method``: 'closed3' (trigonometric closed form, default) or
     'jacobi' (fixed-sweep component Jacobi — no arccos/cos, which Mosaic
-    cannot lower; the Pallas kernel uses this).
+    cannot lower; the Pallas kernel uses this).  DF (double-word)
+    components run the identical chain in df64 with the eigenproblem
+    solved by LDL^T inverse iteration (:func:`sks_tpu.ops.df64.
+    invit_smallest_col_df`; the public entry is ``ops/df64.ho_df64_h``).
     """
-    dtype = x0.dtype
-    quarter = jnp.asarray(0.25, dtype)
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    sqrt2 = jnp.asarray(jnp.sqrt(2.0), dtype)
+    from sks_tpu.ops.df64 import DF as _DF
+
+    is_df = isinstance(x0, _DF)
+    if is_df:
+        from sks_tpu.ops.df64 import df_sqrt, df_where
+
+        base = x0.hi
+        dtype = base.dtype
+        tiny = float(jnp.finfo(dtype).tiny)
+        # df64-accurate sqrt(2) (the f32 constant would cap the chain at
+        # f32 relative accuracy before the solve even starts).
+        sqrt2 = df_sqrt(_DF(jnp.full_like(base, 2.0), jnp.zeros_like(base)))
+        _sqrt = df_sqrt
+
+        def _floor_tiny(v):
+            return df_where(v.hi > tiny, v, v + tiny)
+    else:
+        dtype = x0.dtype
+        sqrt2 = jnp.asarray(jnp.sqrt(2.0), dtype)
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        _sqrt = jnp.sqrt
+
+        def _floor_tiny(v):
+            return jnp.maximum(v, tiny)
+    quarter = 0.25
 
     def iso(xs, ys):
         cx = (xs[0] + xs[1] + xs[2] + xs[3]) * quarter
@@ -64,10 +88,10 @@ def ho_core(
         dx = [x - cx for x in xs]
         dy = [y - cy for y in ys]
         mean = (
-            sum(jnp.sqrt(dx[i] * dx[i] + dy[i] * dy[i]) for i in range(4))
+            sum(_sqrt(dx[i] * dx[i] + dy[i] * dy[i]) for i in range(4))
             * quarter
         )
-        s = sqrt2 / jnp.maximum(mean, tiny)
+        s = sqrt2 / _floor_tiny(mean)
         return [d * s for d in dx], [d * s for d in dy], cx, cy, s
 
     sx, sy, cx1, cy1, s1 = iso((x0, x1, x2, x3), (y0, y1, y2, y3))
@@ -79,7 +103,10 @@ def ho_core(
     g02 = sum(sx[i] for i in range(4))
     g11 = sum(sy[i] * sy[i] for i in range(4))
     g12 = sum(sy[i] for i in range(4))
-    g22 = jnp.asarray(4.0, dtype) + jnp.zeros_like(g02)
+    if is_df:
+        g22 = _DF(jnp.full_like(base, 4.0), jnp.zeros_like(base))
+    else:
+        g22 = jnp.asarray(4.0, dtype) + jnp.zeros_like(g02)
 
     # G^{-1} via adjugate.
     ca = g11 * g22 - g12 * g12
@@ -131,7 +158,18 @@ def ho_core(
     d11 = sum(r[1] * r[1] for r in rx) + sum(r[1] * r[1] for r in ry)
     d12 = sum(r[1] * r[2] for r in rx) + sum(r[1] * r[2] for r in ry)
     d22 = sum(r[2] * r[2] for r in rx) + sum(r[2] * r[2] for r in ry)
-    if eig_method == "jacobi":
+    if is_df:
+        # 3x3 twin of the NDLT eigensolve: f32 Jacobi seed on the hi words,
+        # then df64 LDL^T shifted inverse iteration.
+        from sks_tpu.ops.df64 import df_lift, invit_smallest_col_df
+        from sks_tpu.ops.linalg import jacobi_smallest_col_core
+
+        dmat = [[d00, d01, d02], [d01, d11, d12], [d02, d12, d22]]
+        dmat_hi = [[e.hi for e in row] for row in dmat]
+        seed = [df_lift(s)
+                for s in jacobi_smallest_col_core(dmat_hi, sweeps=4)]
+        gvec = invit_smallest_col_df(dmat, seed)
+    elif eig_method == "jacobi":
         from sks_tpu.ops.linalg import jacobi_smallest_col_core
 
         gvec = jacobi_smallest_col_core(

@@ -199,6 +199,36 @@ def test_ndlt_df64_invit_matches_jacobi(key):
 
 
 @pytest.mark.slow
+def test_baseline_df64_solvers_fixture_grade(key):
+    """GE/GPT/HO df64 reach fp64-grade residuals on wall-scale quads —
+    completing the df64 family to all six solvers (the reference's GPU
+    table is fp64 throughout)."""
+    import numpy as np
+
+    from sks_tpu.ops.df64 import df_to_f64, ge_df64_h, gpt_df64_h, ho_df64_h
+
+    rng = np.random.default_rng(17)
+    n = 128
+    src = jnp.asarray(rng.uniform(0, 640, (n, 4, 2)), jnp.float32)
+    tar = jnp.asarray(rng.uniform(0, 640, (n, 4, 2)), jnp.float32)
+
+    def reproj(h):
+        h = np.asarray(h)
+        h = h / h[..., 2:3, 2:3]
+        s = np.concatenate([np.asarray(src, np.float64),
+                            np.ones((n, 4, 1))], -1)
+        p = np.einsum("bij,bkj->bki", h, s)
+        p = p[..., :2] / p[..., 2:3]
+        return np.abs(p - np.asarray(tar, np.float64)).max(axis=(1, 2))
+
+    for name, fn, tol in (("ge", ge_df64_h, 1e-7),
+                          ("gpt", gpt_df64_h, 1e-8),
+                          ("ho", ho_df64_h, 1e-7)):
+        r = reproj(df_to_f64(jax.jit(fn)(src, tar)))
+        assert float(np.median(r)) < tol, (name, float(np.median(r)))
+
+
+@pytest.mark.slow
 def test_ransac_df64_scoring_smoke(key):
     """RansacConfig(df64_scoring=True) runs end-to-end and rejects outliers."""
     from sks_tpu.robust.ransac import RansacConfig, ransac_homography
