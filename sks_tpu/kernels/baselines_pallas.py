@@ -94,9 +94,10 @@ def _soa_solve(core, flops_per_h: int, default_tile: int):
 #: Approximate per-hypothesis FLOPs (for the compiler's cost model):
 #: GE ~250 (six shared-det Cramer solves + 2x2 coupling), GPT ~1500 (pivoted
 #: 8x9 Gauss-Jordan incl. selection traffic), HO ~900 (normalization, two
-#: 3x3 eliminations, closed-form eigensolver), NDLT ~27K (6 Jacobi sweeps x
-#: 36 rotations x ~120 flops on the 9x9 normal matrix; 6 sweeps measured
-#: converged for minimal pixel-scale sets — see ops/ndlt.ndlt_core).
+#: 3x3 eliminations, closed-form eigensolver), NDLT ~15K (3-sweep Jacobi
+#: seed + LDL^T shifted inverse iteration — measured equal-or-better than
+#: the converged 6-sweep Jacobi at median/p99/p99.9; see
+#: ops/linalg.invit_smallest_col_core).
 ge_solve_soa = _soa_solve(ge_core, 250, 128)
 gpt_solve_soa = _soa_solve(gpt_core, 1_500, 32)
 # 'jacobi' for the 3x3 eigensolver: Mosaic has no acos/cos lowering, so the
@@ -104,7 +105,9 @@ gpt_solve_soa = _soa_solve(gpt_core, 1_500, 32)
 ho_solve_soa = _soa_solve(
     functools.partial(ho_core, eig_method="jacobi"), 1_200, 64
 )
-ndlt_solve_soa = _soa_solve(ndlt_core, 27_000, 8)
+ndlt_solve_soa = _soa_solve(
+    functools.partial(ndlt_core, eig="invit"), 15_000, 8
+)
 
 #: name -> SoA kernel, matching the SOLVERS_H naming.
 SOA_SOLVERS = {

@@ -30,6 +30,7 @@ def ndlt_core(
     sweeps: int = 6,
     jacobi_unroll: bool = False,
     df_eig: str = "invit",
+    eig: str = "jacobi",
 ):
     """Straight-line minimal-set (N=4) NDLT on components.
 
@@ -153,6 +154,13 @@ def ndlt_core(
             h = jacobi_smallest_col_df_unrolled(ltl, sweeps=sweeps)
         else:
             h = jacobi_smallest_col_df(ltl, sweeps=sweeps)
+    elif eig == "invit":
+        # f32 LDL^T shifted inverse iteration (2 seed sweeps + 1
+        # factorization + 2 solves): ~half the 6-sweep Jacobi's flops at
+        # equal measured accuracy (see linalg.invit_smallest_col_core).
+        from sks_tpu.ops.linalg import invit_smallest_col_core
+
+        h = invit_smallest_col_core(ltl)
     else:
         h = jacobi_smallest_col_core(ltl, sweeps=sweeps)
 
